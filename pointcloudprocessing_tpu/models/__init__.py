@@ -1,0 +1,23 @@
+from pointcloudprocessing_tpu.models.layers import PointwiseBlock, DenseBlock
+from pointcloudprocessing_tpu.models.tnet import TNet
+from pointcloudprocessing_tpu.models.pointnet import (
+    PointNet,
+    FreezeFlags,
+    NOTHING_FROZEN,
+    freeze_flags_from_trainable,
+    layer_trainability,
+)
+from pointcloudprocessing_tpu.models.classifier import PointNetClassifier, TNetRegressor
+
+__all__ = [
+    "PointwiseBlock",
+    "DenseBlock",
+    "TNet",
+    "PointNet",
+    "FreezeFlags",
+    "NOTHING_FROZEN",
+    "freeze_flags_from_trainable",
+    "layer_trainability",
+    "PointNetClassifier",
+    "TNetRegressor",
+]

@@ -1,0 +1,97 @@
+"""Building-block layers for the PointNet family.
+
+The reference wraps Keras ``Conv2D(kernel_size=(1,1))`` / ``Dense`` with
+optional BatchNorm and activation (``pointnet/PointNet.py:493-679``,
+ConvLayer/DenseLayer). A 1x1 conv over a (b, n, 1, c) tensor is exactly a
+per-point dense layer, so here both collapse into matmuls over (..., c) —
+the shape XLA tiles straight onto the MXU with no layout gymnastics.
+
+Numerical conventions matched for <=1e-4 logit parity with the reference:
+
+- ``use_bias = not apply_bn`` (PointNet.py:540, :630).
+- BatchNorm momentum 0.99, epsilon 1e-3 (Keras defaults the reference
+  inherits), EMA convention ``moving = momentum * moving + (1-m) * batch``.
+- A *frozen* layer behaves like Keras ``trainable=False``: BatchNorm uses the
+  moving statistics even when training, and never updates them.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pointcloudprocessing_tpu.core.constants import KERAS_BN_EPSILON, KERAS_BN_MOMENTUM
+
+
+def apply_activation(x: jnp.ndarray, activation: Optional[str]) -> jnp.ndarray:
+    if activation is None:
+        return x
+    if activation == "relu":
+        return nn.relu(x)
+    if activation == "softmax":
+        return nn.softmax(x, axis=-1)
+    raise ValueError(f"Unknown activation: {activation!r}")
+
+
+class PointwiseBlock(nn.Module):
+    """Per-point dense + optional BN + activation.
+
+    Equivalent of the reference ``ConvLayer`` (PointNet.py:493-594): the
+    kernel is always (1,1), so the conv is a pointwise matmul; with input
+    (b, n, c) this is ``einsum('bnc,cf->bnf')`` — batched MXU work.
+    """
+
+    features: int
+    apply_bn: bool = True
+    bn_momentum: float = KERAS_BN_MOMENTUM
+    activation: Optional[str] = "relu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool, frozen: bool = False) -> jnp.ndarray:
+        x = nn.Dense(
+            self.features,
+            use_bias=not self.apply_bn,
+            kernel_init=nn.initializers.glorot_uniform(),
+            name="conv",
+        )(x)
+        if self.apply_bn:
+            x = nn.BatchNorm(
+                use_running_average=(not train) or frozen,
+                momentum=self.bn_momentum,
+                epsilon=KERAS_BN_EPSILON,
+                name="bn",
+            )(x)
+        return apply_activation(x, self.activation)
+
+
+class DenseBlock(nn.Module):
+    """Dense + optional BN + activation.
+
+    Equivalent of the reference ``DenseLayer`` (PointNet.py:597-679); same
+    conventions as :class:`PointwiseBlock` (apply_bn defaults False there,
+    callers set it explicitly — we mirror each call site).
+    """
+
+    features: int
+    apply_bn: bool = False
+    bn_momentum: float = KERAS_BN_MOMENTUM
+    activation: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool, frozen: bool = False) -> jnp.ndarray:
+        x = nn.Dense(
+            self.features,
+            use_bias=not self.apply_bn,
+            kernel_init=nn.initializers.glorot_uniform(),
+            name="dense",
+        )(x)
+        if self.apply_bn:
+            x = nn.BatchNorm(
+                use_running_average=(not train) or frozen,
+                momentum=self.bn_momentum,
+                epsilon=KERAS_BN_EPSILON,
+                name="bn",
+            )(x)
+        return apply_activation(x, self.activation)
