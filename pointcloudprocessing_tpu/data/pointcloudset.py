@@ -1,0 +1,332 @@
+"""PointCloudSet: dataset manager with train/val/test TFRecord splits.
+
+Public-API parity with the reference ``pointcloud/PointCloudSet.py:33-509``:
+same constructor signature, ``add_from_aftr_output`` / ``add_data`` /
+``get_train_set`` / ``get_val_set`` / ``get_test_set`` / ``get_info`` /
+``save`` and the joblib self-persistence contract, writing the same TFRecord
+files (byte-compatible; test/val/train ceil-splits in that order,
+PointCloudSet.py:245-247) so datasets interoperate both ways.
+
+Differences (deliberate, documented):
+- ``get_*_set`` return :class:`~pointcloudprocessing_tpu.data.loader.DeviceLoader`
+  objects (host->device prefetching iterators) instead of tf.data pipelines;
+  jitter augmentation happens inside the jitted train step rather than in the
+  input pipeline so preprocessing fuses into the model's XLA program.
+- All randomness is driven by a seeded numpy Generator (the reference seeds
+  ``default_rng`` but then uses the unseeded global ``np.random.shuffle``,
+  PointCloudSet.py:84-85, 238 — irreproducible; we keep determinism).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import joblib
+import numpy as np
+
+from pointcloudprocessing_tpu.data import tfrecord
+from pointcloudprocessing_tpu.data.frames import (
+    FrameError,
+    get_dir_contents,
+    parse_frame_file,
+    parse_state_info,
+)
+from pointcloudprocessing_tpu.data.loader import DeviceLoader
+from pointcloudprocessing_tpu.ops.resample import adjust_to_input_width_np
+
+
+class PointCloudSet:
+    def __init__(
+        self,
+        name: str,
+        class_labels: list[str],
+        part_labels: list[str],
+        network_input_width: int,
+        jitter_stdev_m: np.ndarray = np.array([0, 0, 0]),
+        val: float = 0.15,
+        test: float = 0.10,
+        batch_size: int = 32,
+        rand_seed=None,
+        description: str = "",
+        print_func: Callable[[str], None] = print,
+        data_path: str = "",
+    ):
+        self._description = description
+        self._batch_size = batch_size
+        self._name = name
+        self._class_labels = {label: i for i, label in enumerate(class_labels)}
+        self._class_str = {i: label for i, label in enumerate(class_labels)}
+        self._part_labels = {label: i for i, label in enumerate(part_labels)}
+        self._part_str = {i: label for i, label in enumerate(part_labels)}
+        self._network_input_width = network_input_width
+        self._jitter_stdev_m = np.asarray(jitter_stdev_m, dtype=np.float32)
+        self._print = print_func
+        self._data_path = data_path
+        self._sets_added = 0
+        self._data_size = {
+            split: {"count": 0, "class_count": {}, "part_count": {}}
+            for split in ("train", "val", "test")
+        }
+
+        if isinstance(rand_seed, int):
+            self._random_seed = rand_seed
+        else:
+            self._random_seed = None
+        self._rng = np.random.default_rng(self._random_seed)
+
+        if val < 1.0 and test < 1.0 and 1.0 - (val + test) < 1.0:
+            self._train_amt = 1.0 - (val + test)
+            self._val_amt = val
+            self._test_amt = test
+        else:
+            self._train_amt, self._val_amt, self._test_amt = 0.75, 0.15, 0.10
+            self._print(
+                "PointCloudSet:  train_val_test_split incorrect format - set to default 75% / 15% / 10%"
+            )
+
+        os.makedirs(self._set_dir, exist_ok=True)
+        self.save()
+
+    # -- paths ------------------------------------------------------------
+
+    @property
+    def _set_dir(self) -> str:
+        return f"{self._data_path}{self._name}"
+
+    @property
+    def network_input_width(self) -> int:
+        return self._network_input_width
+
+    @property
+    def jitter_stdev_m(self) -> np.ndarray:
+        return self._jitter_stdev_m
+
+    @property
+    def batch_size(self) -> int:
+        return self._batch_size
+
+    def split_count(self, split: str) -> int:
+        return self._data_size[split]["count"]
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self) -> None:
+        # print_func may be a bound method of a logger — strip before pickling.
+        print_func, rng = self._print, self._rng
+        self._print = None
+        try:
+            with open(f"{self._set_dir}/pc_set.joblib", "wb") as jl:
+                joblib.dump(self, jl)
+        finally:
+            self._print = print_func
+            self._rng = rng
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_print"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self._print is None:
+            self._print = print
+
+    # -- ingest -----------------------------------------------------------
+
+    def add_from_aftr_output(self, dir_path: str, shuffle_points: bool = True) -> bool:
+        """Parse a SensorDatumLogger collect directory.
+
+        Layout (reference docstring, PointCloudSet.py:116-131): Lidar/ with
+        frame_N.txt files plus a ``_palindrome_state__*.log`` pose log at the
+        collect root.
+        """
+        collect_contents = get_dir_contents(dir_path, self._print)
+        lidar_dir = f"{dir_path}/Lidar"
+        lidar_contents = get_dir_contents(lidar_dir, self._print)
+
+        pose_logs = [i for i in collect_contents if "_palindrome_state" in i]
+        if len(pose_logs) != 1:
+            raise Exception(f"No state info found in {dir_path}")
+        state_info = parse_state_info(f"{dir_path}/{pose_logs[0]}")
+
+        observations, class_labels, part_labels, se3 = [], [], [], []
+        self._print(f"Parsing frames in {dir_path}...")
+        for i in range(len(lidar_contents)):
+            frame_path = f"{lidar_dir}/frame_{i}.txt"
+            try:
+                obs, cls, parts = parse_frame_file(
+                    frame_path, self._class_labels, self._part_labels
+                )
+                obs, parts = adjust_to_input_width_np(
+                    obs, parts, self._network_input_width, self._rng
+                )
+                if not np.isfinite(obs).all():
+                    self._print(
+                        f"Per-line check failed - frame_{i} discarded after detecting non-finite value."
+                    )
+                    continue
+                observations.append(obs)
+                class_labels.append(cls)
+                part_labels.append(parts)
+                se3.append(state_info[i]["tanker_in_sensor_frame"][:3, :3])
+            except (FrameError, FileNotFoundError, KeyError) as e:
+                self._print(
+                    f"Failed to add file {frame_path}:\n\t{type(e).__name__} : {e}"
+                )
+
+        self.add_data(
+            dir_path.rstrip("/").split("/")[-1],
+            np.array(observations, dtype=np.float32),
+            np.array(class_labels, dtype=np.int64),
+            np.array(part_labels, dtype=np.int64),
+            np.array(se3, dtype=np.float32),
+            shuffle_points,
+        )
+        return True
+
+    def add_data(
+        self,
+        set_name: str,
+        observations: np.ndarray,
+        class_labels: np.ndarray,
+        part_labels: np.ndarray,
+        se3: np.ndarray,
+        shuffle_points: bool = True,
+    ) -> None:
+        """Split new samples into test/val/train TFRecords (ceil-based split
+        boundaries in test, val, train order — PointCloudSet.py:245-247)."""
+        num = observations.shape[0]
+        if shuffle_points and num:
+            indices = self._rng.permutation(num)
+            observations = observations[indices]
+            class_labels = class_labels[indices]
+            part_labels = part_labels[indices]
+            se3 = se3[indices]
+
+        n_test = int(np.ceil(num * self._test_amt))
+        n_val = int(np.ceil(num * self._val_amt))
+        splits = {
+            "test": (0, min(n_test, num)),
+            "val": (min(n_test, num), min(n_test + n_val, num)),
+            "train": (min(n_test + n_val, num), num),
+        }
+
+        os.makedirs(f"{self._set_dir}/{set_name}", exist_ok=True)
+
+        for split, (start, end) in splits.items():
+            path = f"{self._set_dir}/{set_name}/{split}_{self._sets_added}.tfrecord"
+            with tfrecord.TFRecordWriter(path) as writer:
+                for i in range(start, end):
+                    census = self._data_size[split]
+                    cls_name = self._class_str[int(class_labels[i])]
+                    census["class_count"][cls_name] = (
+                        census["class_count"].get(cls_name, 0) + 1
+                    )
+                    for lbl, lbl_idx in self._part_labels.items():
+                        count = int(np.count_nonzero(part_labels[i] == lbl_idx))
+                        census["part_count"][lbl] = (
+                            census["part_count"].get(lbl, 0) + count
+                        )
+                    writer.write(
+                        tfrecord.encode_example(
+                            observations[i], int(class_labels[i]), part_labels[i], se3[i]
+                        )
+                    )
+                    census["count"] += 1
+
+        self._sets_added += 1
+        self.save()
+
+    # -- read path --------------------------------------------------------
+
+    def _split_files(self, split: str) -> list[str]:
+        import glob
+
+        return sorted(glob.glob(f"{self._set_dir}/*/{split}_*.tfrecord"))
+
+    def load_split_arrays(self, split: str) -> dict[str, np.ndarray]:
+        """Decode a whole split into dense arrays (observations (m, n, 3),
+        class_label (m,), part_labels (m, n), se3 (m, 3, 3))."""
+        obs, cls, parts, se3 = [], [], [], []
+        width = self._network_input_width
+        for path in self._split_files(split):
+            for record in tfrecord.read_tfrecord_file(path):
+                ex = tfrecord.decode_example(record)
+                obs.append(ex["observations"].reshape(width, 3))
+                cls.append(int(ex["class_label"][0]))
+                parts.append(ex["part_labels"])
+                se3.append(ex["se3"].reshape(3, 3))
+        m = len(obs)
+        return {
+            "observations": np.stack(obs) if m else np.zeros((0, width, 3), np.float32),
+            "class_label": np.asarray(cls, dtype=np.int32),
+            "part_labels": np.stack(parts).astype(np.int32) if m else np.zeros((0, width), np.int32),
+            "se3": np.stack(se3) if m else np.zeros((0, 3, 3), np.float32),
+        }
+
+    def get_train_set(self) -> DeviceLoader:
+        return DeviceLoader(
+            self.load_split_arrays("train"),
+            batch_size=self._batch_size,
+            shuffle=True,
+            seed=self._random_seed,
+        )
+
+    def get_val_set(self) -> DeviceLoader:
+        return DeviceLoader(
+            self.load_split_arrays("val"),
+            batch_size=self._batch_size,
+            shuffle=True,
+            seed=self._random_seed,
+        )
+
+    def get_test_set(self) -> DeviceLoader:
+        return DeviceLoader(
+            self.load_split_arrays("test"),
+            batch_size=self._batch_size,
+            shuffle=True,
+            seed=self._random_seed,
+        )
+
+    # -- reports ----------------------------------------------------------
+
+    def get_description(self) -> str:
+        return self._description
+
+    def get_info(self) -> str:
+        """Split/class/part census report; same layout as the reference's
+        get_info (PointCloudSet.py:396-441)."""
+        out = f"{self._description}\n"
+        out += (
+            f"Random seed: {self._random_seed}\n"
+            if isinstance(self._random_seed, int)
+            else "Is not seeded\n"
+        )
+        out += f"Class labels: {self._class_labels.keys()}\n"
+        out += f"Part labels: {self._part_labels.keys()}\n"
+
+        total = sum(self._data_size[s]["count"] for s in ("train", "val", "test"))
+        titles = {"train": "Train Set", "val": "Validation Set", "test": "Test Set"}
+        amounts = {"train": self._train_amt, "val": self._val_amt, "test": self._test_amt}
+        for split in ("train", "val", "test"):
+            size = self._data_size[split]
+            out += f"\n--- {titles[split]} ---\n"
+            out += f"Specified proportion:  {amounts[split]}\n"
+            out += f"Actual proportion: {size['count'] / total if total else 0}\n"
+            out += f"Total count: {size['count']}\n"
+            out += "Class count:\n"
+            for label in self._class_labels:
+                if label in size["class_count"]:
+                    out += f"\t{label}: {size['class_count'][label]}\n"
+            out += "Part count:\n"
+            for label in self._part_labels:
+                if label in size["part_count"]:
+                    out += f"\t{label}: {size['part_count'][label]}\n"
+        return out
+
+
+def load_from_file(joblib_file: str) -> PointCloudSet:
+    """Load a pickled PointCloudSet (reference: PointCloudSet.py:512-521)."""
+    with open(joblib_file, "rb") as pf:
+        return joblib.load(pf)

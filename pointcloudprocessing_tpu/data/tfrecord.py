@@ -1,0 +1,281 @@
+"""TFRecord + tf.train.Example codec with zero TensorFlow dependency.
+
+Byte-compatible with the reference's dataset files
+(``pointcloud/PointCloudSet.py:100-105`` feature schema, :251-288 writers, so
+existing datasets load and files we write parse with tf.data) while keeping
+TensorFlow out of the runtime: the framing (length + masked CRC32C) and the
+Example protobuf wire format are implemented directly, with numpy doing the
+bulk float packing.
+
+Wire format notes:
+- TFRecord frame: u64-LE length, u32 masked-crc32c(length bytes), payload,
+  u32 masked-crc32c(payload); masked = rotr15(crc) + 0xa282ead8.
+- Example proto: Example{features=1} -> Features{map<string,Feature>=1} ->
+  Feature{bytes_list=1|float_list=2|int64_list=3}, FloatList/Int64List value
+  field 1 (packed). The decoder accepts both packed and unpacked encodings.
+
+A C++ accelerator (native/) provides fast CRC32C; this module works without
+it at reduced ingest speed.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+
+from pointcloudprocessing_tpu.utils.native import crc32c as _crc32c
+
+_MASK_DELTA = 0xA282EAD8
+
+
+def masked_crc32c(data: bytes) -> int:
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Protobuf primitives
+# ---------------------------------------------------------------------------
+
+def _varint(value: int) -> bytes:
+    out = bytearray()
+    value &= 0xFFFFFFFFFFFFFFFF  # two's complement for negatives
+    while True:
+        bits = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(bits | 0x80)
+        else:
+            out.append(bits)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delimited(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _float_list(values: np.ndarray) -> bytes:
+    raw = np.ascontiguousarray(values, dtype="<f4").tobytes()
+    return _len_delimited(1, raw)  # FloatList.value packed
+
+
+def _int64_list(values) -> bytes:
+    arr = np.atleast_1d(np.asarray(values, dtype=np.int64))
+    if arr.size and 0 <= arr.min() and arr.max() < 128:
+        # fast path: every varint is one byte
+        raw = arr.astype(np.uint8).tobytes()
+    else:
+        raw = b"".join(_varint(int(v)) for v in arr)
+    return _len_delimited(1, raw)
+
+
+def _feature(payload: bytes, kind_field: int) -> bytes:
+    # Feature{ float_list=2 | int64_list=3 }
+    return _len_delimited(kind_field, payload)
+
+
+def _map_entry(key: str, feature: bytes) -> bytes:
+    entry = _len_delimited(1, key.encode()) + _len_delimited(2, feature)
+    return _len_delimited(1, entry)  # Features.feature map entry
+
+
+def encode_example(
+    observations: np.ndarray,
+    class_label: int,
+    part_labels: np.ndarray,
+    se3: np.ndarray,
+) -> bytes:
+    """Serialize one sample; same feature names/shapes as the reference
+    (PointCloudSet._serialize_sample, :306-323)."""
+    features = b"".join(
+        [
+            _map_entry("observations", _feature(_float_list(observations.ravel()), 2)),
+            _map_entry("class_label", _feature(_int64_list(int(class_label)), 3)),
+            _map_entry("part_labels", _feature(_int64_list(part_labels.ravel()), 3)),
+            _map_entry("se3", _feature(_float_list(se3.ravel()), 2)),
+        ]
+    )
+    return _len_delimited(1, features)  # Example.features
+
+
+def _decode_scalar_list(buf: bytes, is_float: bool):
+    """Decode a FloatList/Int64List message body (field 1, packed or not)."""
+    pos = 0
+    floats: list[bytes] = []
+    ints: list[int] = []
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if field != 1:
+            # skip unknown field
+            if wire == 0:
+                _, pos = _read_varint(buf, pos)
+            elif wire == 2:
+                ln, pos = _read_varint(buf, pos)
+                pos += ln
+            elif wire == 5:
+                pos += 4
+            elif wire == 1:
+                pos += 8
+            continue
+        if is_float:
+            if wire == 2:  # packed
+                ln, pos = _read_varint(buf, pos)
+                floats.append(buf[pos : pos + ln])
+                pos += ln
+            else:  # wire 5, single fixed32
+                floats.append(buf[pos : pos + 4])
+                pos += 4
+        else:
+            if wire == 2:  # packed varints
+                ln, pos = _read_varint(buf, pos)
+                end = pos + ln
+                while pos < end:
+                    v, pos = _read_varint(buf, pos)
+                    ints.append(v)
+            else:
+                v, pos = _read_varint(buf, pos)
+                ints.append(v)
+    if is_float:
+        return np.frombuffer(b"".join(floats), dtype="<f4")
+    arr = np.array(ints, dtype=np.uint64).astype(np.int64)  # two's complement
+    return arr
+
+
+def _skip_field(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_varint(buf, pos)
+    elif wire == 1:
+        pos += 8
+    elif wire == 2:
+        ln, pos = _read_varint(buf, pos)
+        pos += ln
+    elif wire == 5:
+        pos += 4
+    else:
+        raise ValueError(f"Unsupported wire type {wire}")
+    return pos
+
+
+def decode_example(buf: bytes) -> dict[str, np.ndarray]:
+    """Parse a serialized tf.train.Example into {name: array} (float32 for
+    float lists, int64 for int64 lists)."""
+    out: dict[str, np.ndarray] = {}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if field != 1 or wire != 2:  # not Example.features
+            pos = _skip_field(buf, pos, wire)
+            continue
+        ln, pos = _read_varint(buf, pos)
+        features = buf[pos : pos + ln]
+        pos += ln
+
+        fpos = 0
+        while fpos < len(features):
+            ftag, fpos = _read_varint(features, fpos)
+            ffield, fwire = ftag >> 3, ftag & 7
+            if ffield != 1 or fwire != 2:
+                fpos = _skip_field(features, fpos, fwire)
+                continue
+            fln, fpos = _read_varint(features, fpos)
+            entry = features[fpos : fpos + fln]
+            fpos += fln
+
+            key = None
+            value = None
+            epos = 0
+            while epos < len(entry):
+                etag, epos = _read_varint(entry, epos)
+                efield, ewire = etag >> 3, etag & 7
+                eln, epos = _read_varint(entry, epos)
+                body = entry[epos : epos + eln]
+                epos += eln
+                if efield == 1:
+                    key = body.decode()
+                elif efield == 2:
+                    value = body
+            if key is None or value is None:
+                continue
+
+            # value is a Feature message: float_list=2, int64_list=3, bytes_list=1
+            vpos = 0
+            while vpos < len(value):
+                vtag, vpos = _read_varint(value, vpos)
+                vfield, vwire = vtag >> 3, vtag & 7
+                vln, vpos = _read_varint(value, vpos)
+                body = value[vpos : vpos + vln]
+                vpos += vln
+                if vfield == 2:
+                    out[key] = _decode_scalar_list(body, is_float=True)
+                elif vfield == 3:
+                    out[key] = _decode_scalar_list(body, is_float=False)
+                elif vfield == 1:
+                    out[key] = np.frombuffer(body, dtype=np.uint8)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TFRecord framing
+# ---------------------------------------------------------------------------
+
+
+class TFRecordWriter:
+    """Drop-in analogue of tf.io.TFRecordWriter (context manager + write)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+
+    def write(self, record: bytes) -> None:
+        length = struct.pack("<Q", len(record))
+        self._f.write(length)
+        self._f.write(struct.pack("<I", masked_crc32c(length)))
+        self._f.write(record)
+        self._f.write(struct.pack("<I", masked_crc32c(record)))
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def read_tfrecord_file(path: str, verify_crc: bool = True) -> Iterator[bytes]:
+    """Yield raw record payloads from a TFRecord file."""
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                return
+            (length,) = struct.unpack("<Q", header)
+            (len_crc,) = struct.unpack("<I", f.read(4))
+            if verify_crc and masked_crc32c(header) != len_crc:
+                raise ValueError(f"{path}: corrupt record length CRC")
+            data = f.read(length)
+            (data_crc,) = struct.unpack("<I", f.read(4))
+            if verify_crc and masked_crc32c(data) != data_crc:
+                raise ValueError(f"{path}: corrupt record data CRC")
+            yield data

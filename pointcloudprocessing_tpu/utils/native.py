@@ -1,0 +1,168 @@
+"""Loader for the C++ runtime accelerators (native/pcp_native.cpp).
+
+The shared library is compiled on demand with g++ (cached next to the
+source); every entry point has a pure-Python fallback so the framework works
+without a toolchain — just slower on the host-side ingest paths. ctypes is
+used for bindings (no pybind11 in this environment).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "pcp_native.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libpcp_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+
+def _try_load() -> "ctypes.CDLL | None":
+    global _lib, _build_failed
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SRC):
+            _build_failed = True
+            return None
+        needs_build = (not os.path.exists(_SO)) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        )
+        if needs_build:
+            flags = ["-O3", "-shared", "-fPIC", "-std=c++17"]
+            if os.uname().machine in ("x86_64", "amd64"):
+                flags.append("-msse4.2")
+            try:
+                subprocess.run(
+                    ["g++", *flags, "-o", _SO, _SRC],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+
+        lib.pcp_crc32c.restype = ctypes.c_uint32
+        lib.pcp_crc32c.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+        ]
+        lib.pcp_parse_aftr_frame.restype = ctypes.c_int64
+        lib.pcp_parse_aftr_frame.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _try_load() is not None
+
+
+# ---------------------------------------------------------------------------
+# CRC32C
+# ---------------------------------------------------------------------------
+
+_py_table: np.ndarray | None = None
+
+
+def _python_table() -> np.ndarray:
+    global _py_table
+    if _py_table is None:
+        poly = 0x82F63B78
+        table = np.zeros(256, dtype=np.uint32)
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ (poly if crc & 1 else 0)
+            table[i] = crc
+        _py_table = table
+    return _py_table
+
+
+def _crc32c_python(data: bytes, crc: int = 0) -> int:
+    table = _python_table()
+    crc = ~crc & 0xFFFFFFFF
+    for b in data:
+        crc = int(table[(crc ^ b) & 0xFF]) ^ (crc >> 8)
+    return ~crc & 0xFFFFFFFF
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C (Castagnoli) of ``data``, optionally continuing ``crc``."""
+    lib = _try_load()
+    if lib is not None:
+        return lib.pcp_crc32c(data, len(data), crc)
+    return _crc32c_python(data, crc)
+
+
+# ---------------------------------------------------------------------------
+# AftrBurner frame parsing
+# ---------------------------------------------------------------------------
+
+
+def parse_aftr_frame_native(
+    text: bytes, class_vocab: list[str], part_vocab: list[str], max_points: int
+):
+    """C++ fast path for frame parsing; returns None if the native library is
+    unavailable. See data.frames.parse_frame_text for the full contract."""
+    lib = _try_load()
+    if lib is None:
+        return None
+
+    xyz = np.empty((max_points, 3), dtype=np.float32)
+    cls = np.empty(max_points, dtype=np.int32)
+    part = np.empty(max_points, dtype=np.int32)
+    valid = np.empty(max_points, dtype=np.uint8)
+    had_unknown = ctypes.c_int32(0)
+    non_finite = ctypes.c_int32(0)
+
+    n = lib.pcp_parse_aftr_frame(
+        text,
+        len(text),
+        "\n".join(class_vocab).encode(),
+        "\n".join(part_vocab).encode(),
+        max_points,
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cls.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        part.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(had_unknown),
+        ctypes.byref(non_finite),
+    )
+    if n < 0:
+        raise ValueError("Malformed frame text")
+    return (
+        xyz[:n],
+        cls[:n],
+        part[:n],
+        valid[:n].astype(bool),
+        bool(had_unknown.value),
+        int(non_finite.value),
+    )
