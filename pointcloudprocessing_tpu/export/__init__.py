@@ -1,5 +1,15 @@
 from pointcloudprocessing_tpu.export.keras_compat import (
     flax_variables_from_keras_pointnet,
 )
+from pointcloudprocessing_tpu.export.stablehlo import (
+    export_stablehlo,
+    load_stablehlo,
+    export_tf_savedmodel,
+)
 
-__all__ = ["flax_variables_from_keras_pointnet"]
+__all__ = [
+    "flax_variables_from_keras_pointnet",
+    "export_stablehlo",
+    "load_stablehlo",
+    "export_tf_savedmodel",
+]

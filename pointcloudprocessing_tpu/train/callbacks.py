@@ -1,0 +1,111 @@
+"""Training callbacks: early stopping, best-checkpointing, Ctrl-C handling.
+
+Parity targets in pointnet_train.py:
+- EarlyStopping(monitor, mode='min', patience, restore_best_weights=True)
+  (:199-205).
+- ModelCheckpoint(save_best_only=True, monitor, mode='min', per epoch)
+  (:207-214) — here an Orbax checkpoint directory instead of a .keras file.
+- CtrlC_InterruptHandler (:42-61): first SIGINT requests a stop after the
+  current epoch; the second hard-exits.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+from typing import Any, Callable
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class EarlyStopping:
+    def __init__(self, patience: int, print_func: Callable[[str], None] = print):
+        self.patience = patience
+        self.best = float("inf")
+        self.best_epoch = -1
+        self.best_state = None
+        self.wait = 0
+        self._print = print_func
+
+    def update(self, epoch: int, monitor_value: float, state) -> bool:
+        """Record this epoch; returns True when training should stop."""
+        if monitor_value < self.best:
+            self.best = monitor_value
+            self.best_epoch = epoch
+            # keep a host copy so the best weights survive device donation
+            self.best_state = jax.device_get(state)
+            self.wait = 0
+            return False
+        self.wait += 1
+        if self.wait >= self.patience:
+            self._print(
+                f"Early stopping at epoch {epoch + 1}; best epoch was "
+                f"{self.best_epoch + 1} (monitor {self.best:.6f})."
+            )
+            return True
+        return False
+
+
+class BestCheckpoint:
+    """Save-best-only Orbax checkpointing of {params, batch_stats}."""
+
+    def __init__(self, directory: str, print_func: Callable[[str], None] = print):
+        self.directory = os.path.abspath(directory)
+        self.best = float("inf")
+        self._print = print_func
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def update(self, epoch: int, monitor_value: float, state) -> None:
+        if monitor_value >= self.best:
+            return
+        self.best = monitor_value
+        payload = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        path = os.path.join(self.directory, "best")
+        self._ckptr.save(path, payload, force=True)
+        self._print(
+            f"Epoch {epoch + 1}: monitor improved to {monitor_value:.6f}, "
+            f"saving model to {path}"
+        )
+
+    def wait_until_finished(self):
+        self._ckptr.wait_until_finished()
+
+
+def load_checkpoint(directory: str) -> dict:
+    """Load a BestCheckpoint payload ({params, batch_stats})."""
+    path = os.path.join(os.path.abspath(directory), "best")
+    return ocp.StandardCheckpointer().restore(path)
+
+
+class CtrlCInterruptHandler:
+    """Two-stage SIGINT: graceful stop after the epoch, then hard exit."""
+
+    def __init__(self, print_func: Callable[[str], None] = print):
+        self.stop_requested = False
+        self._print = print_func
+        self._previous: Any = None
+
+    def install(self) -> None:
+        self._previous = signal.signal(signal.SIGINT, self._on_signal)
+
+    def uninstall(self) -> None:
+        if self._previous is not None:
+            signal.signal(signal.SIGINT, self._previous)
+            self._previous = None
+
+    def _on_signal(self, sig, frame):
+        if not self.stop_requested:
+            self.stop_requested = True
+            self._print(
+                ">>> TRAINING INTERRUPT INITIATED BY USER <<<\n"
+                "Training will stop after the current epoch.\n"
+                "Press Ctrl+C again to force quit."
+            )
+        else:
+            self._print(">>> FORCE QUIT INITIATED BY USER <<<")
+            sys.exit(0)

@@ -1,0 +1,402 @@
+"""TrainProfile: JSON-config staged/curriculum training driver.
+
+Behavioral parity with the reference driver (pointnet_train.py:63-362):
+
+- Consumes the same ``*_config.json`` schema (core.config).
+- Per stage: build-or-load a PointCloudSet named ``{name}_{stage}`` (joblib
+  cache), ingest any missing collects, train with per-stage freeze/thaw +
+  loss weights, EarlyStopping(min monitor, restore best) + save-best
+  checkpointing, dump a history JSON with the exact Keras metric key names,
+  then chain: each stage's best weights seed the next stage
+  (pointnet_train.py:257).
+- ``continue_training_model`` resumes from a previous stage directory's
+  checkpoint (pointnet_train.py:280-295).
+- Artifacts per stage directory: checkpoint (Orbax; replaces .keras),
+  ``{name}_{stage}_history.json``, a copy of the config, and a StableHLO
+  export when available (replaces tf2onnx, pointnet_train.py:237-248).
+
+TPU-first differences: the epoch loop drives a single jitted step program
+(augment+forward+backward+Adam fused); with multiple devices the batch is
+sharded over a 1-D ``data`` mesh and XLA all-reduces gradients over ICI.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import logging
+import os
+import shutil
+import time
+from collections import defaultdict
+from typing import Callable
+
+import jax
+import numpy as np
+
+from pointcloudprocessing_tpu.core.config import TrainConfig, StageConfig, load_config
+from pointcloudprocessing_tpu.data.frames import get_dir_contents
+from pointcloudprocessing_tpu.data.pointcloudset import PointCloudSet, load_from_file
+from pointcloudprocessing_tpu.models.pointnet import (
+    PointNet,
+    freeze_flags_from_trainable,
+    layer_trainability,
+)
+from pointcloudprocessing_tpu.parallel.mesh import (
+    batch_sharding,
+    data_parallel_mesh,
+    replicated_sharding,
+)
+from pointcloudprocessing_tpu.train import steps as steps_lib
+from pointcloudprocessing_tpu.train.callbacks import (
+    BestCheckpoint,
+    CtrlCInterruptHandler,
+    EarlyStopping,
+    load_checkpoint,
+)
+
+HISTORY_KEYS = [
+    "classification_output_loss",
+    "classification_output_sparse_categorical_accuracy",
+    "loss",
+    "se3_loss",
+    "se3_root_mean_squared_error",
+    "segmentation_output_loss",
+    "segmentation_output_sparse_categorical_accuracy",
+]
+
+
+def _epoch_metrics(batch_logs: list[dict]) -> dict[str, float]:
+    """Reduce per-batch logs to Keras-named streaming epoch metrics."""
+    sums: dict[str, float] = defaultdict(float)
+    for logs in batch_logs:
+        for k, v in logs.items():
+            sums[k] += float(v)
+    n = max(len(batch_logs), 1)
+    return {
+        "loss": sums["loss"] / n,
+        "classification_output_loss": sums["classification_output_loss"] / n,
+        "segmentation_output_loss": sums["segmentation_output_loss"] / n,
+        "se3_loss": sums["se3_loss"] / n,
+        "classification_output_sparse_categorical_accuracy": (
+            sums["classification_correct"] / max(sums["classification_total"], 1.0)
+        ),
+        "segmentation_output_sparse_categorical_accuracy": (
+            sums["segmentation_correct"] / max(sums["segmentation_total"], 1.0)
+        ),
+        "se3_root_mean_squared_error": float(
+            np.sqrt(sums["se3_sq_sum"] / max(sums["se3_count"], 1.0))
+        ),
+    }
+
+
+class TrainProfile:
+    def __init__(self, config_file: str | TrainConfig, log_to_file: bool = True):
+        if isinstance(config_file, TrainConfig):
+            self.config = config_file
+            self._config_file = None
+        else:
+            self._config_file = config_file
+            self.config = load_config(config_file)
+        cfg = self.config
+
+        # -- path validation (pointnet_train.py:115-122) -------------------
+        for path, what in [
+            (cfg.model_path, "model_path"),
+            (cfg.input_path, "input_path"),
+            (cfg.data_path, "data_path"),
+        ]:
+            if path and not os.path.isdir(path):
+                raise FileNotFoundError(f"{what} {path} does not exist")
+        for stage in cfg.stages:
+            for ds in stage.datasets:
+                if not os.path.isdir(f"{cfg.input_path}{ds}"):
+                    raise FileNotFoundError(f"{cfg.input_path}{ds} does not exist")
+        if cfg.continue_training_model:
+            ckpt = f"{cfg.model_path}{cfg.continue_training_model}"
+            if not os.path.isdir(ckpt):
+                raise FileNotFoundError(f"{ckpt} does not exist")
+
+        self._specific_model_path = f"{cfg.name}/"
+        os.makedirs(f"{cfg.model_path}{self._specific_model_path}", exist_ok=True)
+
+        # -- logger (pointnet_train.py:130-141; sane ts format, the
+        #    reference's '%H:%M%S' produces fullwidth-colon filenames) ------
+        self._log = logging.getLogger(f"train.{cfg.name}")
+        self._log.setLevel(logging.DEBUG)
+        self._log.propagate = False
+        if not self._log.handlers:
+            console = logging.StreamHandler()
+            console.setFormatter(
+                logging.Formatter("%(name)s - %(levelname)s - %(message)s")
+            )
+            self._log.addHandler(console)
+            if log_to_file:
+                ts = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+                fh = logging.FileHandler(
+                    f"{cfg.model_path}{self._specific_model_path}log_{ts}.log"
+                )
+                fh.setFormatter(
+                    logging.Formatter(
+                        "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
+                    )
+                )
+                self._log.addHandler(fh)
+
+        # -- per-stage datasets (pointnet_train.py:144-172) ----------------
+        self._pc_sets: dict[str, PointCloudSet] = {}
+        self._stage_paths: dict[str, str] = {}
+        for stage in cfg.stages:
+            set_name = f"{cfg.name}_{stage.name}"
+            set_dir = f"{cfg.data_path}{set_name}"
+            if os.path.isdir(set_dir) and os.path.exists(f"{set_dir}/pc_set.joblib"):
+                self._log.info(
+                    f"Training profile {set_name} already exists. Using existing profile..."
+                )
+                pc = load_from_file(f"{set_dir}/pc_set.joblib")
+                pc._print = self._log.info
+            else:
+                pc = PointCloudSet(
+                    name=set_name,
+                    class_labels=list(cfg.class_labels),
+                    part_labels=list(cfg.part_labels),
+                    network_input_width=cfg.input_width,
+                    jitter_stdev_m=np.array(stage.noise.as_tuple()),
+                    batch_size=cfg.batch_size,
+                    rand_seed=42,
+                    description=stage.name,
+                    print_func=self._log.info,
+                    data_path=cfg.data_path,
+                )
+            self._pc_sets[stage.name] = pc
+            self._profile_datasets(stage, pc)
+
+            stage_path = f"{self._specific_model_path}{stage.name}/"
+            os.makedirs(f"{cfg.model_path}{stage_path}", exist_ok=True)
+            self._stage_paths[stage.name] = stage_path
+
+        self._pretrained_model = cfg.continue_training_model
+        # epoch-end hooks for testing/observability: fn(stage, epoch, logs)
+        self.epoch_callbacks: list[Callable] = []
+
+    # ------------------------------------------------------------------
+
+    def _profile_datasets(self, stage: StageConfig, pc: PointCloudSet) -> None:
+        """Ingest any collects not already in the stage's dataset
+        (pointnet_train.py:259-274)."""
+        cfg = self.config
+        existing = get_dir_contents(f"{cfg.data_path}{cfg.name}_{stage.name}", self._log.info)
+        for i, set_name in enumerate(stage.datasets):
+            if set_name not in existing:
+                self._log.info(
+                    f"Adding data set {i + 1} of {len(stage.datasets)}"
+                )
+                pc.add_from_aftr_output(
+                    dir_path=f"{cfg.input_path}{set_name}", shuffle_points=True
+                )
+        self._log.info("\nDatasets added successfully:\n")
+        self._log.info(pc.get_info())
+
+    # ------------------------------------------------------------------
+
+    def _build_state(self, stage: StageConfig):
+        """Model + TrainState for a stage, loading pretrained weights when
+        chaining (pointnet_train.py:276-332)."""
+        cfg = self.config
+        model = PointNet(
+            num_classes=cfg.num_classes,
+            num_parts=cfg.num_parts,
+            dropout_rate=0.3,
+            vanilla=cfg.vanilla,
+            regularize_input_transform=cfg.regularize_input_transform,
+            regularize_feature_transform=cfg.regularize_feature_transform,
+        )
+        freeze = freeze_flags_from_trainable(stage.trainable)
+
+        init_variables = None
+        if self._pretrained_model:
+            ckpt_dir = f"{cfg.model_path}{self._pretrained_model}"
+            self._log.info(f"Continuing training on model {self._pretrained_model}")
+            payload = load_checkpoint(ckpt_dir)
+            init_variables = {
+                "params": payload["params"],
+                "batch_stats": payload["batch_stats"],
+            }
+
+        state, optimizer = steps_lib.init_train_state(
+            model,
+            jax.random.key(cfg.random_seed),
+            cfg.input_width,
+            cfg.learning,
+            freeze,
+            init_variables=init_variables,
+        )
+        return model, state, optimizer, freeze
+
+    def train(self) -> dict[str, dict]:
+        """Run every stage; returns {stage: history} (pointnet_train.py:174-257)."""
+        cfg = self.config
+        histories: dict[str, dict] = {}
+
+        if cfg.debugging:
+            jax.config.update("jax_debug_nans", True)
+
+        for stage in cfg.stages:
+            model, state, optimizer, freeze = self._build_state(stage)
+
+            self._log.info("PointNet Build")
+            self._log.info("\tTrainable Layers")
+            for layer, trainable in layer_trainability(freeze, cfg.vanilla).items():
+                self._log.info(f"\t\t-> {layer}: {trainable}")
+
+            histories[stage.name] = self._train_stage(stage, model, state, optimizer, freeze)
+
+            # chain: this stage's best checkpoint seeds the next stage
+            self._pretrained_model = self._stage_paths[stage.name]
+
+        if cfg.debugging:
+            jax.config.update("jax_debug_nans", False)
+        return histories
+
+    def _train_stage(self, stage, model, state, optimizer, freeze) -> dict:
+        cfg = self.config
+        pc = self._pc_sets[stage.name]
+        stage_dir = f"{cfg.model_path}{self._stage_paths[stage.name]}"
+
+        weights = (
+            stage.loss_weights.classification,
+            stage.loss_weights.segmentation,
+            stage.loss_weights.rotation,
+        )
+        jitter_stdev = stage.noise.as_tuple()
+        train_step = steps_lib.make_train_step(model, optimizer, weights, freeze, jitter_stdev)
+        eval_step = steps_lib.make_eval_step(model, weights, jitter_stdev)
+
+        train_loader = pc.get_train_set()
+        val_loader = pc.get_val_set()
+        steps_per_epoch = max(pc.split_count("train") // cfg.batch_size, 1)
+        validation_steps = max(pc.split_count("val") // cfg.batch_size, 1)
+
+        # multi-device data parallelism when the batch divides evenly
+        devices = jax.devices()
+        mesh = None
+        if len(devices) > 1 and cfg.batch_size % len(devices) == 0:
+            mesh = data_parallel_mesh(devices)
+            state = jax.device_put(state, replicated_sharding(mesh))
+            self._log.info(
+                f"Data-parallel over {len(devices)} devices "
+                f"({cfg.batch_size // len(devices)} clouds/device)"
+            )
+        batch_device = batch_sharding(mesh) if mesh is not None else None
+
+        early = EarlyStopping(cfg.patience, self._log.info)
+        ckpt = BestCheckpoint(stage_dir, self._log.info)
+        interrupt = CtrlCInterruptHandler(self._log.info)
+        interrupt.install()
+
+        rng = jax.random.key(cfg.random_seed)
+        history: dict[str, list] = defaultdict(list)
+
+        try:
+            for epoch in range(cfg.epochs):
+                t0 = time.perf_counter()
+                batch_logs = []
+                for x, targets in train_loader.batches(
+                    num_steps=steps_per_epoch, device=batch_device
+                ):
+                    state, logs = train_step(state, x, targets, rng)
+                    batch_logs.append(logs)
+                train_metrics = _epoch_metrics(jax.device_get(batch_logs))
+
+                val_logs = []
+                for x, targets in val_loader.batches(
+                    num_steps=validation_steps, device=batch_device
+                ):
+                    val_logs.append(eval_step(state, x, targets, rng))
+                val_metrics = {
+                    f"val_{k}": v
+                    for k, v in _epoch_metrics(jax.device_get(val_logs)).items()
+                }
+
+                epoch_metrics = {**train_metrics, **val_metrics}
+                for key in HISTORY_KEYS:
+                    history[key].append(epoch_metrics[key])
+                    history[f"val_{key}"].append(epoch_metrics[f"val_{key}"])
+
+                dt = time.perf_counter() - t0
+                monitor_value = epoch_metrics[stage.monitor]
+                self._log.info(
+                    f"Epoch {epoch + 1}/{cfg.epochs} [{stage.name}] {dt:.1f}s - "
+                    f"loss: {epoch_metrics['loss']:.4f} - "
+                    f"val_loss: {epoch_metrics['val_loss']:.4f} - "
+                    f"{stage.monitor}: {monitor_value:.4f}"
+                )
+                for hook in self.epoch_callbacks:
+                    hook(stage.name, epoch, epoch_metrics)
+
+                ckpt.update(epoch, monitor_value, state)
+                if early.update(epoch, monitor_value, state):
+                    break
+                if interrupt.stop_requested:
+                    self._log.info("User stop received.")
+                    break
+        finally:
+            interrupt.uninstall()
+
+        # EarlyStopping(restore_best_weights=True) semantics
+        if early.best_state is not None:
+            state = early.best_state
+        ckpt.wait_until_finished()
+
+        # history JSON (pointnet_train.py:234-235)
+        history = dict(history)
+        with open(f"{stage_dir}{cfg.name}_{stage.name}_history.json", "w") as f:
+            json.dump(history, f)
+
+        # config copy for provenance (pointnet_train.py:251)
+        if self._config_file and os.path.isfile(self._config_file):
+            shutil.copy(self._config_file, stage_dir)
+
+        # export (replaces tf2onnx; gated on availability)
+        try:
+            from pointcloudprocessing_tpu.export.stablehlo import export_pointnet
+
+            export_pointnet(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                cfg.input_width,
+                f"{stage_dir}{cfg.name}_{stage.name}",
+            )
+        except Exception as e:  # export must never kill a finished run
+            self._log.info(f"StableHLO export skipped: {type(e).__name__}: {e}")
+
+        return history
+
+
+def train_pointnet(argv: list[str]) -> bool:
+    """CLI entry (reference: pointnet_train.py:364-402)."""
+    configs = [a for a in argv if a.endswith(".json")]
+    if not configs:
+        print_help()
+        return False
+
+    devices = jax.devices()
+    print(f"Devices available: {devices}")
+
+    for cf in configs:
+        tp = TrainProfile(cf)
+        tp.train()
+    return True
+
+
+def print_help() -> None:
+    print(
+        "PointNet training module (TPU-native).\n"
+        "Usage: python -m pointcloudprocessing_tpu.train.cli <name>_config.json\n"
+        "The config follows the reference schema (see core/config.py):\n"
+        "  info{name, class_labels, part_labels, training_profiles{...},\n"
+        "       continue_training_model}\n"
+        "  params{input_width, epochs, patience, batch_size, learning{...},\n"
+        "         random_seed, debugging, vanilla, regularize_*_transform}\n"
+        "  file_system{model_path, input_path, data_path}"
+    )

@@ -1,0 +1,218 @@
+"""jit-compiled train/eval steps with freeze-masked optimization.
+
+TPU-first equivalents of Keras model.fit internals the reference relies on
+(pointnet_train.py:221-228, 310-351):
+
+- One XLA program per step: jitter augmentation + forward + loss + backward +
+  Adam update all fuse under a single ``jax.jit``.
+- Optimizer: Adam (Keras epsilon 1e-7) on an exponential-decay schedule
+  (non-staircase), reference pointnet_train.py:310-319.
+- Freeze/thaw: the per-stage ``trainable`` switches become an optax
+  multi_transform — frozen subtrees get ``set_to_zero`` updates; frozen
+  BatchNorms already use running stats inside the model (FreezeFlags).
+- Metrics: per-batch correct-counts/sums so the host can reproduce Keras's
+  streaming epoch metrics exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pointcloudprocessing_tpu.core.config import LearningConfig
+from pointcloudprocessing_tpu.models.pointnet import FreezeFlags, PointNet
+from pointcloudprocessing_tpu.ops.augment import jitter
+from pointcloudprocessing_tpu.train.losses import multi_head_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def freeze_label_tree(params: Any, freeze: FreezeFlags) -> Any:
+    """Label each top-level param subtree 'train' or 'freeze' per the stage's
+    switches (application order matches pointnet_train.py:322-332)."""
+
+    def label_for(name: str) -> str:
+        if name == "input_transform":
+            frozen = freeze.input_transform
+        elif name == "feature_transform":
+            frozen = freeze.shared_network
+        elif name.startswith("mlp_cls"):
+            frozen = freeze.classification_head
+        elif name.startswith("mlp_seg"):
+            frozen = freeze.segmentation_head
+        else:  # mlp_1_*, mlp_2_* — the shared trunk
+            frozen = freeze.shared_network
+        return "freeze" if frozen else "train"
+
+    return {
+        name: jax.tree_util.tree_map(lambda _: label_for(name), subtree)
+        for name, subtree in params.items()
+    }
+
+
+def make_optimizer(
+    learning: LearningConfig,
+    params: Any,
+    freeze: FreezeFlags = FreezeFlags(),
+) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        init_value=learning.rate,
+        transition_steps=learning.decay_steps,
+        decay_rate=learning.decay_rate,
+        staircase=False,
+    )
+    adam = optax.adam(schedule, eps=1e-7)  # Keras Adam epsilon
+    labels = freeze_label_tree(params, freeze)
+    return optax.multi_transform(
+        {"train": adam, "freeze": optax.set_to_zero()}, labels
+    )
+
+
+def init_train_state(
+    model: PointNet,
+    rng: jax.Array,
+    input_width: int,
+    learning: LearningConfig,
+    freeze: FreezeFlags = FreezeFlags(),
+    init_variables: Any | None = None,
+    batch_size: int = 1,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    """Initialize (or re-wrap pretrained variables into) a TrainState."""
+    if init_variables is None:
+        dummy = jnp.zeros((batch_size, input_width, 3), jnp.float32)
+        variables = model.init(rng, dummy, train=False)
+    else:
+        variables = init_variables
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    optimizer = make_optimizer(learning, params, freeze)
+    return (
+        TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=optimizer.init(params),
+        ),
+        optimizer,
+    )
+
+
+def _metric_sums(outputs, targets):
+    """Per-batch sufficient statistics for Keras streaming metrics."""
+    cls_pred = jnp.argmax(outputs["classification_output"], axis=-1)
+    seg_pred = jnp.argmax(outputs["segmentation_output"], axis=-1)
+    se3_err = outputs["se3"] - targets["se3"]
+    return {
+        "classification_correct": jnp.sum(
+            (cls_pred == targets["classification_output"]).astype(jnp.float32)
+        ),
+        "classification_total": jnp.asarray(
+            cls_pred.shape[0], jnp.float32
+        ),
+        "segmentation_correct": jnp.sum(
+            (seg_pred == targets["segmentation_output"]).astype(jnp.float32)
+        ),
+        "segmentation_total": jnp.asarray(
+            seg_pred.shape[0] * seg_pred.shape[1], jnp.float32
+        ),
+        "se3_sq_sum": jnp.sum(jnp.square(se3_err)),
+        "se3_count": jnp.asarray(se3_err.size, jnp.float32),
+    }
+
+
+def make_train_step(
+    model: PointNet,
+    optimizer: optax.GradientTransformation,
+    loss_weights: tuple[float, float, float],
+    freeze: FreezeFlags,
+    jitter_stdev: tuple[float, float, float],
+) -> Callable:
+    """Build the jitted train step: (state, x, targets, rng) -> (state, logs)."""
+
+    def step(state: TrainState, x, targets, rng):
+        jitter_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        x = jitter(x, jitter_rng, jitter_stdev)
+
+        def loss_fn(params):
+            outputs, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                freeze=freeze,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats", "reg_losses"],
+            )
+            reg_sum = sum(
+                jnp.sum(v)
+                for v in jax.tree_util.tree_leaves(updates.get("reg_losses", {}))
+            )
+            total, head_losses = multi_head_loss(
+                outputs, targets, loss_weights, reg_sum
+            )
+            return total, (outputs, updates["batch_stats"], head_losses)
+
+        (total, (outputs, new_batch_stats, head_losses)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        logs = {"loss": total, **head_losses, **_metric_sums(outputs, targets)}
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, logs
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(
+    model: PointNet,
+    loss_weights: tuple[float, float, float],
+    jitter_stdev: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    apply_jitter: bool = True,
+) -> Callable:
+    """Build the jitted eval step: (state, x, targets, rng) -> logs.
+
+    Note the reference applies jitter augmentation to the validation pipeline
+    too (the same _parse_function backs all three splits,
+    PointCloudSet.py:325-391) — replicated here by default for val-loss
+    parity; pass apply_jitter=False for clean evaluation.
+    """
+
+    def step(state: TrainState, x, targets, rng):
+        if apply_jitter:
+            x = jitter(x, jax.random.fold_in(rng, 1), jitter_stdev)
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+        )
+        total, head_losses = multi_head_loss(outputs, targets, loss_weights, 0.0)
+        return {"loss": total, **head_losses, **_metric_sums(outputs, targets)}
+
+    return jax.jit(step)
+
+
+def make_predict_fn(model: PointNet) -> Callable:
+    """Inference entry: (variables, x) -> outputs dict (jitted)."""
+
+    @jax.jit
+    def predict(variables, x):
+        return model.apply(variables, x, train=False)
+
+    return predict

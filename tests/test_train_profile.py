@@ -1,0 +1,183 @@
+"""End-to-end staged-training tests: config -> ingest -> train -> artifacts."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from helpers import make_collect, CLASS_LABELS, PART_LABELS
+
+WIDTH = 32
+
+
+def make_config(tmp_path, epochs=2, stages=("classification_pretrain", "final")):
+    """A miniature config in the reference schema (kc46_lidar_config.json)."""
+    in_dir = tmp_path / "input"
+    os.makedirs(in_dir, exist_ok=True)
+    collect_a = os.path.basename(
+        make_collect(str(in_dir), num_frames=16, points_per_frame=40, seed=0,
+                     name="collect_A")
+    )
+    collect_b = os.path.basename(
+        make_collect(str(in_dir), num_frames=16, points_per_frame=40,
+                     class_name="f-15_model", seed=1, name="collect_B")
+    )
+    os.makedirs(tmp_path / "models", exist_ok=True)
+    os.makedirs(tmp_path / "data", exist_ok=True)
+
+    profiles = {}
+    trainables = {
+        "classification_pretrain": {
+            "shared_network": True, "input_transform": True,
+            "classification_head": True, "segmentation_head": False,
+        },
+        "final": {
+            "shared_network": True, "input_transform": True,
+            "classification_head": False, "segmentation_head": True,
+        },
+    }
+    weights = {
+        "classification_pretrain": {"classification": 1.0, "segmentation": 0.0, "rotation": 0.0},
+        "final": {"classification": 0.0, "segmentation": 1.0, "rotation": 0.0},
+    }
+    monitors = {
+        "classification_pretrain": "val_classification_output_loss",
+        "final": "val_segmentation_output_loss",
+    }
+    for stage in stages:
+        profiles[stage] = {
+            "datasets": {"0": collect_a, "1": collect_b},
+            "noise": {"x_stdev_m": 0.01, "y_stdev_m": 0.01, "z_stdev_m": 0.01},
+            "trainable": trainables[stage],
+            "loss_weights": weights[stage],
+            "monitor": monitors[stage],
+        }
+
+    config = {
+        "info": {
+            "name": "tiny",
+            "class_labels": {str(i): c for i, c in enumerate(CLASS_LABELS)},
+            "part_labels": {str(i): p for i, p in enumerate(PART_LABELS)},
+            "training_profiles": profiles,
+            "continue_training_model": "",
+        },
+        "params": {
+            "input_width": WIDTH,
+            "epochs": epochs,
+            "patience": 30,
+            "batch_size": 8,
+            "learning": {"rate": 1e-3, "decay_steps": 100, "decay_rate": 0.9},
+            "random_seed": 42,
+            "debugging": False,
+            "vanilla": True,
+            "regularize_input_transform": False,
+            "regularize_feature_transform": False,
+        },
+        "file_system": {
+            "model_path": str(tmp_path / "models") + "/",
+            "input_path": str(in_dir) + "/",
+            "data_path": str(tmp_path / "data") + "/",
+        },
+    }
+    path = str(tmp_path / "tiny_config.json")
+    with open(path, "w") as f:
+        json.dump(config, f)
+    return path
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    from pointcloudprocessing_tpu.train.profile import TrainProfile
+
+    tmp_path = tmp_path_factory.mktemp("profile")
+    config_path = make_config(tmp_path)
+    tp = TrainProfile(config_path, log_to_file=True)
+    histories = tp.train()
+    return tmp_path, config_path, tp, histories
+
+
+def test_both_stages_ran(trained):
+    _, _, _, histories = trained
+    assert set(histories) == {"classification_pretrain", "final"}
+    for h in histories.values():
+        assert len(h["loss"]) == 2  # epochs
+
+
+def test_history_json_keras_keys(trained):
+    tmp_path, _, _, _ = trained
+    path = tmp_path / "models" / "tiny" / "final" / "tiny_final_history.json"
+    history = json.load(open(path))
+    # exact key set of the reference's history files
+    expected = {
+        "classification_output_loss",
+        "classification_output_sparse_categorical_accuracy",
+        "loss",
+        "se3_loss",
+        "se3_root_mean_squared_error",
+        "segmentation_output_loss",
+        "segmentation_output_sparse_categorical_accuracy",
+    }
+    expected |= {f"val_{k}" for k in expected}
+    assert set(history) == expected
+    assert all(np.isfinite(v).all() for v in history.values())
+
+
+def test_stage_artifacts(trained):
+    tmp_path, _, _, _ = trained
+    for stage in ("classification_pretrain", "final"):
+        stage_dir = tmp_path / "models" / "tiny" / stage
+        assert (stage_dir / "best").is_dir()              # orbax checkpoint
+        assert (stage_dir / f"tiny_{stage}_history.json").is_file()
+        assert (stage_dir / "tiny_config.json").is_file()  # config provenance
+        assert (stage_dir / f"tiny_{stage}.stablehlo").is_file()
+
+
+def test_dataset_cache_reused(trained, capsys):
+    """Second TrainProfile with the same config must reuse the pc_set cache
+    (pointnet_train.py:146-150) instead of re-ingesting."""
+    from pointcloudprocessing_tpu.train.profile import TrainProfile
+
+    tmp_path, config_path, _, _ = trained
+    tp2 = TrainProfile(config_path, log_to_file=False)
+    assert tp2._pc_sets["final"].split_count("train") > 0
+
+
+def test_checkpoint_loadable_and_runs(trained):
+    from pointcloudprocessing_tpu.train.callbacks import load_checkpoint
+    from pointcloudprocessing_tpu.models import PointNet
+
+    tmp_path, _, _, _ = trained
+    payload = load_checkpoint(str(tmp_path / "models" / "tiny" / "final"))
+    model = PointNet(num_classes=len(CLASS_LABELS), num_parts=len(PART_LABELS), vanilla=True)
+    out = model.apply(
+        {"params": payload["params"], "batch_stats": payload["batch_stats"]},
+        np.zeros((2, WIDTH, 3), np.float32),
+        train=False,
+    )
+    assert out["classification_output"].shape == (2, len(CLASS_LABELS))
+
+
+def test_stablehlo_export_roundtrip(trained):
+    from pointcloudprocessing_tpu.export.stablehlo import load_stablehlo
+
+    tmp_path, _, _, _ = trained
+    exported = load_stablehlo(
+        str(tmp_path / "models" / "tiny" / "final" / "tiny_final.stablehlo")
+    )
+    pts = np.random.default_rng(0).normal(size=(3, WIDTH, 3)).astype(np.float32)
+    cls, seg, se3 = exported.call(pts)
+    assert cls.shape == (3, len(CLASS_LABELS))
+    assert seg.shape == (3, WIDTH, len(PART_LABELS))
+    assert se3.shape == (3, 3, 3)
+    np.testing.assert_allclose(np.asarray(cls).sum(-1), 1.0, atol=1e-5)
+
+
+def test_learning_happened(trained):
+    """Two classes with distinct geometry: accuracy should beat chance after
+    even 2 epochs on this tiny problem."""
+    _, _, _, histories = trained
+    acc = histories["classification_pretrain"][
+        "classification_output_sparse_categorical_accuracy"
+    ]
+    assert acc[-1] >= acc[0] * 0.8  # not diverging

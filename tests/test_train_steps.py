@@ -1,0 +1,171 @@
+"""Train-step tests: Keras loss parity, learning, freeze masks, DP mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloudprocessing_tpu.core.config import LearningConfig
+from pointcloudprocessing_tpu.models import PointNet, FreezeFlags
+from pointcloudprocessing_tpu.train import losses as losses_lib
+from pointcloudprocessing_tpu.train import steps as steps_lib
+
+B, N, C, P = 8, 32, 4, 3
+
+
+def test_scce_matches_keras():
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(6, 5)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    labels = rng.integers(0, 5, 6)
+
+    keras_loss = tf.keras.losses.SparseCategoricalCrossentropy()(labels, probs).numpy()
+    ours = float(
+        jnp.mean(losses_lib.sparse_categorical_crossentropy(jnp.asarray(probs), jnp.asarray(labels)))
+    )
+    assert ours == pytest.approx(float(keras_loss), abs=1e-6)
+
+
+def test_mse_matches_keras():
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(1)
+    pred = rng.normal(size=(6, 3, 3)).astype(np.float32)
+    target = rng.normal(size=(6, 3, 3)).astype(np.float32)
+    keras_loss = tf.keras.losses.MeanSquaredError()(target, pred).numpy()
+    ours = float(jnp.mean(losses_lib.mean_squared_error(jnp.asarray(pred), jnp.asarray(target))))
+    assert ours == pytest.approx(float(keras_loss), abs=1e-6)
+
+
+def _toy_problem(rng_seed=0):
+    """Clouds whose class/parts are recoverable from geometry."""
+    rng = np.random.default_rng(rng_seed)
+    x = rng.normal(size=(B, N, 3)).astype(np.float32)
+    cls = rng.integers(0, C, B).astype(np.int32)
+    x[:, :, 0] += cls[:, None] * 4.0  # class signal
+    parts = (x[:, :, 2] > 0).astype(np.int32)  # part signal
+    se3 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    targets = {
+        "classification_output": jnp.asarray(cls),
+        "segmentation_output": jnp.asarray(parts),
+        "se3": jnp.asarray(se3),
+    }
+    return jnp.asarray(x), targets
+
+
+@pytest.fixture  # function-scoped: the train step donates its input state
+def trained_bits():
+    model = PointNet(num_classes=C, num_parts=P)
+    learning = LearningConfig(rate=1e-3, decay_steps=1000, decay_rate=0.9)
+    freeze = FreezeFlags()
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), N, learning, freeze
+    )
+    step = steps_lib.make_train_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0)
+    )
+    return model, state, optimizer, step
+
+
+def test_loss_decreases(trained_bits):
+    model, state, optimizer, step = trained_bits
+    x, targets = _toy_problem()
+    rng = jax.random.key(42)
+    first = None
+    for i in range(30):
+        state, logs = step(state, x, targets, rng)
+        if first is None:
+            first = float(logs["loss"])
+    assert float(logs["loss"]) < first * 0.7
+    assert np.isfinite(float(logs["loss"]))
+
+
+def test_freeze_mask_keeps_params_fixed():
+    model = PointNet(num_classes=C, num_parts=P)
+    learning = LearningConfig(rate=1e-2)
+    freeze = FreezeFlags(
+        input_transform=True, shared_network=True,
+        classification_head=False, segmentation_head=True,
+    )
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), N, learning, freeze
+    )
+    step = steps_lib.make_train_step(
+        model, optimizer, (1.0, 0.0, 0.0), freeze, (0.0, 0.0, 0.0)
+    )
+    x, targets = _toy_problem()
+    before = jax.device_get(state.params)
+    for _ in range(3):
+        state, _ = step(state, x, targets, jax.random.key(1))
+    after = jax.device_get(state.params)
+
+    frozen_names = [k for k in before if not k.startswith("mlp_cls")]
+    for name in frozen_names:
+        for b, a in zip(
+            jax.tree_util.tree_leaves(before[name]),
+            jax.tree_util.tree_leaves(after[name]),
+        ):
+            np.testing.assert_array_equal(b, a)
+    # classification head did move
+    moved = any(
+        not np.array_equal(b, a)
+        for k in before if k.startswith("mlp_cls")
+        for b, a in zip(
+            jax.tree_util.tree_leaves(before[k]),
+            jax.tree_util.tree_leaves(after[k]),
+        )
+    )
+    assert moved
+
+
+def test_eval_step_no_mutation(trained_bits):
+    model, state, optimizer, _ = trained_bits
+    eval_step = steps_lib.make_eval_step(model, (1.0, 1.0, 0.0), (0.0, 0.0, 0.0))
+    x, targets = _toy_problem()
+    stats_before = jax.device_get(state.batch_stats)
+    logs = eval_step(state, x, targets, jax.random.key(0))
+    assert np.isfinite(float(logs["loss"]))
+    stats_after = jax.device_get(state.batch_stats)
+    for b, a in zip(
+        jax.tree_util.tree_leaves(stats_before), jax.tree_util.tree_leaves(stats_after)
+    ):
+        np.testing.assert_array_equal(b, a)
+
+
+def test_data_parallel_step_over_mesh():
+    """The same train step runs with the batch sharded over all 8 virtual
+    devices and params replicated — gradients all-reduced by XLA."""
+    from pointcloudprocessing_tpu.parallel.mesh import (
+        batch_sharding,
+        data_parallel_mesh,
+        replicated_sharding,
+    )
+
+    assert len(jax.devices()) == 8
+    model = PointNet(num_classes=C, num_parts=P)
+    learning = LearningConfig(rate=1e-3)
+    freeze = FreezeFlags()
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), N, learning, freeze
+    )
+    step = steps_lib.make_train_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0)
+    )
+
+    mesh = data_parallel_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+    x, targets = _toy_problem()
+    x = jax.device_put(x, batch_sharding(mesh))
+    targets = jax.device_put(targets, batch_sharding(mesh))
+
+    state, logs = step(state, x, targets, jax.random.key(7))
+    assert np.isfinite(float(logs["loss"]))
+
+    # single-device reference step must agree on the loss value
+    state2, _ = steps_lib.init_train_state(model, jax.random.key(0), N, learning, freeze)
+    step2 = steps_lib.make_train_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0)
+    )
+    x2, targets2 = _toy_problem()
+    _, logs2 = step2(state2, x2, targets2, jax.random.key(7))
+    assert float(logs["loss"]) == pytest.approx(float(logs2["loss"]), rel=1e-4)
