@@ -41,12 +41,17 @@ class PointwiseBlock(nn.Module):
     Equivalent of the reference ``ConvLayer`` (PointNet.py:493-594): the
     kernel is always (1,1), so the conv is a pointwise matmul; with input
     (b, n, c) this is ``einsum('bnc,cf->bnf')`` — batched MXU work.
+
+    ``dtype=bfloat16`` runs the matmul/BN math in bf16 (params stay f32) —
+    the MXU-native precision; default None keeps full f32 for reference
+    logit parity.
     """
 
     features: int
     apply_bn: bool = True
     bn_momentum: float = KERAS_BN_MOMENTUM
     activation: Optional[str] = "relu"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool, frozen: bool = False) -> jnp.ndarray:
@@ -54,6 +59,7 @@ class PointwiseBlock(nn.Module):
             self.features,
             use_bias=not self.apply_bn,
             kernel_init=nn.initializers.glorot_uniform(),
+            dtype=self.dtype,
             name="conv",
         )(x)
         if self.apply_bn:
@@ -61,6 +67,7 @@ class PointwiseBlock(nn.Module):
                 use_running_average=(not train) or frozen,
                 momentum=self.bn_momentum,
                 epsilon=KERAS_BN_EPSILON,
+                dtype=self.dtype,
                 name="bn",
             )(x)
         return apply_activation(x, self.activation)
@@ -78,6 +85,7 @@ class DenseBlock(nn.Module):
     apply_bn: bool = False
     bn_momentum: float = KERAS_BN_MOMENTUM
     activation: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool, frozen: bool = False) -> jnp.ndarray:
@@ -85,6 +93,7 @@ class DenseBlock(nn.Module):
             self.features,
             use_bias=not self.apply_bn,
             kernel_init=nn.initializers.glorot_uniform(),
+            dtype=self.dtype,
             name="dense",
         )(x)
         if self.apply_bn:
@@ -92,6 +101,7 @@ class DenseBlock(nn.Module):
                 use_running_average=(not train) or frozen,
                 momentum=self.bn_momentum,
                 epsilon=KERAS_BN_EPSILON,
+                dtype=self.dtype,
                 name="bn",
             )(x)
         return apply_activation(x, self.activation)

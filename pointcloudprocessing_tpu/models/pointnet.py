@@ -21,6 +21,7 @@ exactly like Keras ``trainable=False``.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -92,6 +93,9 @@ class PointNet(nn.Module):
     regularize_input_transform: bool = False
     regularize_feature_transform: bool = False
     bn_momentum: float = KERAS_BN_MOMENTUM
+    # bfloat16 runs the trunk matmuls on the MXU at 2-4x f32 throughput;
+    # final heads and the softmaxes stay f32. None = full f32 (parity mode).
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -112,6 +116,7 @@ class PointNet(nn.Module):
                 k=3,
                 add_regularization=self.regularize_input_transform,
                 bn_momentum=self.bn_momentum,
+                dtype=self.dtype,
                 name="input_transform",
             )(pc, train=train, frozen=freeze.input_transform)
             x = pc @ r
@@ -122,10 +127,10 @@ class PointNet(nn.Module):
             x = pc
 
         # Shared MLP (64, 64) (PointNet.py:215-223).
-        x = PointwiseBlock(64, bn_momentum=self.bn_momentum, name="mlp_1_1")(
+        x = PointwiseBlock(64, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_1_1")(
             x, train=train, frozen=freeze.shared_network
         )
-        x = PointwiseBlock(64, bn_momentum=self.bn_momentum, name="mlp_1_2")(
+        x = PointwiseBlock(64, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_1_2")(
             x, train=train, frozen=freeze.shared_network
         )
 
@@ -136,6 +141,7 @@ class PointNet(nn.Module):
                 k=64,
                 add_regularization=self.regularize_feature_transform,
                 bn_momentum=self.bn_momentum,
+                dtype=self.dtype,
                 name="feature_transform",
             )(x, train=train, frozen=freeze.shared_network)
             x_64 = x @ r64
@@ -143,13 +149,13 @@ class PointNet(nn.Module):
             x_64 = x
 
         # Shared MLP (64, 128, 1024) (PointNet.py:234-245).
-        x = PointwiseBlock(64, bn_momentum=self.bn_momentum, name="mlp_2_1")(
+        x = PointwiseBlock(64, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_2_1")(
             x_64, train=train, frozen=freeze.shared_network
         )
-        x = PointwiseBlock(128, bn_momentum=self.bn_momentum, name="mlp_2_2")(
+        x = PointwiseBlock(128, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_2_2")(
             x, train=train, frozen=freeze.shared_network
         )
-        x = PointwiseBlock(1024, bn_momentum=self.bn_momentum, name="mlp_2_3")(
+        x = PointwiseBlock(1024, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_2_3")(
             x, train=train, frozen=freeze.shared_network
         )
 
@@ -159,17 +165,17 @@ class PointNet(nn.Module):
         # Classification head (PointNet.py:252-263).
         x_cls = DenseBlock(
             512, apply_bn=True, bn_momentum=self.bn_momentum, activation="relu",
-            name="mlp_cls_1",
+            dtype=self.dtype, name="mlp_cls_1",
         )(global_features, train=train, frozen=freeze.classification_head)
         x_cls = nn.Dropout(self.dropout_rate, deterministic=not train, name="dropout_1")(x_cls)
         x_cls = DenseBlock(
             256, apply_bn=True, bn_momentum=self.bn_momentum, activation="relu",
-            name="mlp_cls_2",
+            dtype=self.dtype, name="mlp_cls_2",
         )(x_cls, train=train, frozen=freeze.classification_head)
         x_cls = nn.Dropout(self.dropout_rate, deterministic=not train, name="dropout_2")(x_cls)
         x_cls = DenseBlock(
             self.num_classes, apply_bn=False, activation="softmax", name="mlp_cls_3",
-        )(x_cls, train=train, frozen=freeze.classification_head)
+        )(x_cls.astype(jnp.float32), train=train, frozen=freeze.classification_head)
 
         # Segmentation head on [per-point 64-d ++ tiled global 1024-d]
         # (PointNet.py:268-290).
@@ -179,21 +185,21 @@ class PointNet(nn.Module):
         )
         x_seg = jnp.concatenate([x_64, tiled_global], axis=-1)  # (b, n, 1088)
 
-        x_seg = PointwiseBlock(512, bn_momentum=self.bn_momentum, name="mlp_seg_1")(
+        x_seg = PointwiseBlock(512, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_1")(
             x_seg, train=train, frozen=freeze.segmentation_head
         )
-        x_seg = PointwiseBlock(256, bn_momentum=self.bn_momentum, name="mlp_seg_2")(
+        x_seg = PointwiseBlock(256, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_2")(
             x_seg, train=train, frozen=freeze.segmentation_head
         )
-        x_seg = PointwiseBlock(128, bn_momentum=self.bn_momentum, name="mlp_seg_3")(
+        x_seg = PointwiseBlock(128, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_3")(
             x_seg, train=train, frozen=freeze.segmentation_head
         )
-        x_seg = PointwiseBlock(128, bn_momentum=self.bn_momentum, name="mlp_seg_4")(
+        x_seg = PointwiseBlock(128, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_4")(
             x_seg, train=train, frozen=freeze.segmentation_head
         )
         x_seg = PointwiseBlock(
             self.num_parts, apply_bn=False, activation="softmax", name="mlp_seg_5",
-        )(x_seg, train=train, frozen=freeze.segmentation_head)
+        )(x_seg.astype(jnp.float32), train=train, frozen=freeze.segmentation_head)
 
         return {
             "classification_output": x_cls,

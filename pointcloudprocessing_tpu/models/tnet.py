@@ -45,6 +45,7 @@ class TNet(nn.Module):
     conv_apply_bn: bool = True
     conv_activation: Optional[str] = "relu"
     w_init_zeros: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool, frozen: bool = False) -> jnp.ndarray:
@@ -53,15 +54,15 @@ class TNet(nn.Module):
 
         h = PointwiseBlock(
             widths[0], apply_bn=self.conv_apply_bn, bn_momentum=self.bn_momentum,
-            activation=self.conv_activation, name="conv_layer_1",
+            activation=self.conv_activation, dtype=self.dtype, name="conv_layer_1",
         )(x, train=train, frozen=frozen)
         h = PointwiseBlock(
             widths[1], apply_bn=self.conv_apply_bn, bn_momentum=self.bn_momentum,
-            activation=self.conv_activation, name="conv_layer_2",
+            activation=self.conv_activation, dtype=self.dtype, name="conv_layer_2",
         )(h, train=train, frozen=frozen)
         h = PointwiseBlock(
             widths[2], apply_bn=self.conv_apply_bn, bn_momentum=self.bn_momentum,
-            activation=self.conv_activation, name="conv_layer_3",
+            activation=self.conv_activation, dtype=self.dtype, name="conv_layer_3",
         )(h, train=train, frozen=frozen)
 
         # Symmetric (permutation-invariant) global feature. PointNet.py:429.
@@ -69,11 +70,11 @@ class TNet(nn.Module):
 
         h = DenseBlock(
             widths[3], apply_bn=True, bn_momentum=self.bn_momentum,
-            activation="relu", name="dense_layer_1",
+            activation="relu", dtype=self.dtype, name="dense_layer_1",
         )(h, train=train, frozen=frozen)
         h = DenseBlock(
             widths[4], apply_bn=True, bn_momentum=self.bn_momentum,
-            activation="relu", name="dense_layer_2",
+            activation="relu", dtype=self.dtype, name="dense_layer_2",
         )(h, train=train, frozen=frozen)
 
         w = self.param(
@@ -83,7 +84,11 @@ class TNet(nn.Module):
         )
         b = self.param("b", _identity_kxk, (self.k, self.k))
 
-        out = (h @ w).reshape(-1, self.k, self.k) + b  # (b, k, k)
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
+            w = w.astype(self.dtype)
+        # final transform assembled in f32 (it feeds a matmul with the cloud)
+        out = (h @ w).astype(jnp.float32).reshape(-1, self.k, self.k) + b
 
         if self.add_regularization:
             eye = jnp.eye(self.k, dtype=out.dtype)
