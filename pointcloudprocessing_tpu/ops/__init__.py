@@ -5,6 +5,17 @@ from pointcloudprocessing_tpu.ops.resample import (
     adjust_to_input_width,
 )
 from pointcloudprocessing_tpu.ops.augment import jitter
+from pointcloudprocessing_tpu.ops.voxel import voxel_downsample, voxel_downsample_batch
+from pointcloudprocessing_tpu.ops.fps import (
+    farthest_point_sample,
+    farthest_point_sample_batch,
+)
+from pointcloudprocessing_tpu.ops.knn import knn, knn_batch, group_points
+from pointcloudprocessing_tpu.ops.normals import (
+    estimate_normals,
+    estimate_normals_batch,
+)
+from pointcloudprocessing_tpu.ops.hpr import hidden_point_removal, spherical_flip
 
 __all__ = [
     "mat_ops",
@@ -12,4 +23,15 @@ __all__ = [
     "adjust_to_input_width_np",
     "adjust_to_input_width",
     "jitter",
+    "voxel_downsample",
+    "voxel_downsample_batch",
+    "farthest_point_sample",
+    "farthest_point_sample_batch",
+    "knn",
+    "knn_batch",
+    "group_points",
+    "estimate_normals",
+    "estimate_normals_batch",
+    "hidden_point_removal",
+    "spherical_flip",
 ]

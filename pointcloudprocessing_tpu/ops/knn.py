@@ -1,0 +1,60 @@
+"""k-nearest-neighbor search via MXU distance matmuls.
+
+North-star preprocessing op (BASELINE.json: "kNN grouping"). Brute-force
+pairwise distances computed as ``|a|^2 + |b|^2 - 2 a.b^T`` — the cross term
+is a (n, 3) x (3, m) matmul that XLA tiles onto the MXU — followed by
+``lax.top_k``. Exact (no approximation), fixed shapes, fully fusable into a
+larger preprocessing program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sq_dists(queries: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """(nq, 3), (np, 3) -> (nq, np) squared euclidean distances."""
+    q2 = jnp.sum(jnp.square(queries), axis=-1, keepdims=True)
+    p2 = jnp.sum(jnp.square(points), axis=-1)
+    cross = queries @ points.T
+    d = q2 + p2[None, :] - 2.0 * cross
+    return jnp.maximum(d, 0.0)  # clamp negative rounding residue
+
+
+def knn(
+    queries: jnp.ndarray,
+    points: jnp.ndarray,
+    k: int,
+    valid_mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest neighbors of each query among points.
+
+    Args:
+      queries: (nq, 3); points: (np, 3).
+      valid_mask: optional (np,) bool; invalid points are pushed to +inf.
+
+    Returns (indices (nq, k) int32, sq_dists (nq, k)) sorted ascending.
+    """
+    d = pairwise_sq_dists(queries, points)
+    if valid_mask is not None:
+        d = jnp.where(valid_mask[None, :], d, jnp.inf)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32), -neg_d
+
+
+def knn_batch(
+    queries: jnp.ndarray,
+    points: jnp.ndarray,
+    k: int,
+    valid_mask: jnp.ndarray | None = None,
+):
+    """(b, nq, 3), (b, np, 3) -> ((b, nq, k), (b, nq, k))."""
+    if valid_mask is None:
+        valid_mask = jnp.ones(points.shape[:2], bool)
+    return jax.vmap(lambda q, p, m: knn(q, p, k, m))(queries, points, valid_mask)
+
+
+def group_points(points: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Gather neighbor groups: points (n, c), indices (nq, k) -> (nq, k, c)."""
+    return points[indices]

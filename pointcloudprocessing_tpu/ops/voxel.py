@@ -1,0 +1,103 @@
+"""Voxel-grid downsampling as a fixed-shape XLA program.
+
+North-star generalization of the reference's resampling ops (BASELINE.json:
+"voxel downsampling ... becomes fused Pallas kernels over padded fixed-shape
+point tensors"); the reference itself only truncates/repeat-samples
+(PointCloudSet.py:443-470).
+
+Fixed-shape formulation: output has the same max length as the input plus a
+validity mask — data-dependent unique-voxel counts never leave the device.
+Pipeline: quantize -> lexicographic voxel key -> sort -> segment boundaries
+-> dense ranks -> segment mean (centroid mode) or first-point gather.
+Everything is sorts/scans/segment-sums, which XLA lowers well on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def voxel_downsample(
+    points: jnp.ndarray,
+    voxel_size: float,
+    valid_mask: jnp.ndarray | None = None,
+    reduction: str = "centroid",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Downsample one cloud by voxel grid.
+
+    Args:
+      points: (n, 3).
+      voxel_size: edge length of the cubic voxel.
+      valid_mask: optional (n,) bool; invalid rows are ignored.
+      reduction: 'centroid' (mean of voxel members) or 'first' (lowest input
+        index in the voxel — deterministic representative).
+
+    Returns:
+      (out_points (n, 3), out_mask (n,)) — out_mask[i] True for the first
+      k rows, where k = number of occupied voxels; those rows hold the voxel
+      representatives (ordered by voxel key). Invalid tail rows are zeros.
+    """
+    n = points.shape[0]
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), bool)
+
+    coords = jnp.floor(points / voxel_size).astype(jnp.int32)
+    # Lexicographic sort on (invalid, x, y, z): valid points first, grouped
+    # by voxel. (lexsort's last key is most significant.)
+    order = jnp.lexsort(
+        (coords[:, 2], coords[:, 1], coords[:, 0], ~valid_mask)
+    )
+    sorted_coords = coords[order]
+    sorted_points = points[order]
+    sorted_valid = valid_mask[order]
+
+    differs = jnp.any(sorted_coords[1:] != sorted_coords[:-1], axis=-1)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), differs])
+    is_new = is_new & sorted_valid
+    # first valid row always opens a segment (handles an invalid row 0)
+    is_new = is_new | (sorted_valid & ~jnp.concatenate([jnp.zeros((1,), bool), sorted_valid[:-1]]))
+    rank = jnp.cumsum(is_new) - 1  # dense segment id per sorted row
+    rank = jnp.where(sorted_valid, rank, n - 1)  # dump invalids in last bucket
+
+    num_voxels = jnp.sum(is_new)
+
+    if reduction == "centroid":
+        sums = jax.ops.segment_sum(
+            jnp.where(sorted_valid[:, None], sorted_points, 0.0), rank, num_segments=n
+        )
+        counts = jax.ops.segment_sum(
+            sorted_valid.astype(points.dtype), rank, num_segments=n
+        )
+        out = sums / jnp.maximum(counts, 1.0)[:, None]
+    elif reduction == "first":
+        # lowest original index within each voxel
+        orig_idx = order
+        INF = jnp.int32(n)
+        min_idx = jax.ops.segment_min(
+            jnp.where(sorted_valid, orig_idx, INF).astype(jnp.int32),
+            rank,
+            num_segments=n,
+        )
+        min_idx = jnp.clip(min_idx, 0, n - 1)
+        out = points[min_idx]
+    else:
+        raise ValueError(f"Unknown reduction {reduction!r}")
+
+    out_mask = jnp.arange(n) < num_voxels
+    out = jnp.where(out_mask[:, None], out, 0.0)
+    return out, out_mask
+
+
+def voxel_downsample_batch(
+    points: jnp.ndarray,
+    voxel_size: float,
+    valid_mask: jnp.ndarray | None = None,
+    reduction: str = "centroid",
+):
+    """vmap over a batch of padded clouds: (b, n, 3) -> ((b, n, 3), (b, n))."""
+    if valid_mask is None:
+        valid_mask = jnp.ones(points.shape[:2], bool)
+    return jax.vmap(lambda p, m: voxel_downsample(p, voxel_size, m, reduction))(
+        points, valid_mask
+    )

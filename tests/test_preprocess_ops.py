@@ -1,0 +1,192 @@
+"""Tests for the preprocessing ops: voxel, FPS, kNN, normals, HPR."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloudprocessing_tpu.ops import (
+    voxel_downsample,
+    voxel_downsample_batch,
+    farthest_point_sample,
+    knn,
+    knn_batch,
+    group_points,
+    estimate_normals,
+    hidden_point_removal,
+)
+from pointcloudprocessing_tpu.ops.normals import smallest_eigenvector_sym3x3
+
+
+# -- voxel ------------------------------------------------------------------
+
+def test_voxel_centroids_known_grid():
+    # two clusters in distinct voxels
+    pts = jnp.array(
+        [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [5.1, 5.1, 5.1], [5.3, 5.2, 5.1]]
+    )
+    out, mask = voxel_downsample(pts, voxel_size=1.0)
+    assert int(mask.sum()) == 2
+    got = np.asarray(out)[np.asarray(mask)]
+    want = np.array([[0.15, 0.15, 0.15], [5.2, 5.15, 5.1]])
+    # order is by voxel key (ascending) — cluster at origin first
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_voxel_first_mode():
+    pts = jnp.array([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [9.0, 9.0, 9.0]])
+    out, mask = voxel_downsample(pts, 1.0, reduction="first")
+    got = np.asarray(out)[np.asarray(mask)]
+    np.testing.assert_allclose(got, [[0.1, 0.1, 0.1], [9.0, 9.0, 9.0]], atol=1e-6)
+
+
+def test_voxel_respects_valid_mask():
+    pts = jnp.array([[0.1, 0.1, 0.1], [100.0, 100.0, 100.0]])
+    mask = jnp.array([True, False])
+    out, out_mask = voxel_downsample(pts, 1.0, mask)
+    assert int(out_mask.sum()) == 1
+    np.testing.assert_allclose(np.asarray(out)[0], [0.1, 0.1, 0.1], atol=1e-6)
+
+
+def test_voxel_negative_coords_and_jit(rng):
+    pts = jnp.asarray(rng.uniform(-20, 20, (256, 3)).astype(np.float32))
+    f = jax.jit(lambda p: voxel_downsample(p, 2.0))
+    out, mask = f(pts)
+    k = int(mask.sum())
+    assert 0 < k <= 256
+    got = np.asarray(out)[:k]
+    # each centroid must lie inside its own voxel (true for centroid of
+    # points sharing one voxel)
+    voxels = np.floor(np.asarray(pts) / 2.0)
+    cent_voxels = np.floor(got / 2.0)
+    unique_in = {tuple(v) for v in voxels.tolist()}
+    assert {tuple(v) for v in cent_voxels.tolist()} <= unique_in
+    assert len({tuple(v) for v in cent_voxels.tolist()}) == k
+
+
+def test_voxel_batch(rng):
+    pts = jnp.asarray(rng.uniform(-5, 5, (3, 64, 3)).astype(np.float32))
+    out, mask = voxel_downsample_batch(pts, 1.0)
+    assert out.shape == (3, 64, 3)
+    assert mask.shape == (3, 64)
+
+
+# -- FPS --------------------------------------------------------------------
+
+def test_fps_picks_extremes():
+    pts = jnp.array([[0.0, 0, 0], [0.1, 0, 0], [10.0, 0, 0], [5.0, 0, 0]])
+    idx = np.asarray(farthest_point_sample(pts, 3))
+    assert idx[0] == 0
+    assert idx[1] == 2   # farthest from 0
+    assert idx[2] == 3   # then the midpoint
+
+
+def test_fps_unique_until_exhausted(rng):
+    pts = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32))
+    idx = np.asarray(farthest_point_sample(pts, 64))
+    assert len(np.unique(idx)) == 64
+
+
+def test_fps_valid_mask(rng):
+    pts = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+    mask = jnp.arange(32) < 10
+    idx = np.asarray(farthest_point_sample(pts, 8, mask))
+    assert (idx < 10).all()
+
+
+def test_fps_better_coverage_than_random(rng):
+    """FPS minimum pairwise distance should beat random sampling."""
+    pts = jnp.asarray(rng.uniform(-1, 1, (512, 3)).astype(np.float32))
+    idx = np.asarray(farthest_point_sample(pts, 32))
+    sel = np.asarray(pts)[idx]
+
+    def min_pairwise(x):
+        d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        return d.min()
+
+    rand_sel = np.asarray(pts)[rng.choice(512, 32, replace=False)]
+    assert min_pairwise(sel) > min_pairwise(rand_sel)
+
+
+# -- kNN --------------------------------------------------------------------
+
+def test_knn_exact_vs_numpy(rng):
+    q = rng.normal(size=(20, 3)).astype(np.float32)
+    p = rng.normal(size=(50, 3)).astype(np.float32)
+    idx, d2 = knn(jnp.asarray(q), jnp.asarray(p), 5)
+    full = ((q[:, None] - p[None]) ** 2).sum(-1)
+    want_idx = np.argsort(full, axis=1)[:, :5]
+    want_d = np.sort(full, axis=1)[:, :5]
+    np.testing.assert_allclose(np.asarray(d2), want_d, atol=1e-4)
+    # indices may permute within distance ties; compare via distances
+    got_d = np.take_along_axis(full, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got_d, want_d, atol=1e-4)
+
+
+def test_knn_self_query_includes_self(rng):
+    p = jnp.asarray(rng.normal(size=(30, 3)).astype(np.float32))
+    idx, d2 = knn(p, p, 1)
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(30))
+    np.testing.assert_allclose(np.asarray(d2), 0.0, atol=1e-5)
+
+
+def test_knn_batch_and_group(rng):
+    p = jnp.asarray(rng.normal(size=(2, 40, 3)).astype(np.float32))
+    idx, _ = knn_batch(p, p, 4)
+    assert idx.shape == (2, 40, 4)
+    groups = jax.vmap(group_points)(p, idx)
+    assert groups.shape == (2, 40, 4, 3)
+
+
+# -- normals ----------------------------------------------------------------
+
+def test_smallest_eigenvector_known():
+    a = jnp.diag(jnp.array([5.0, 2.0, 9.0]))
+    v = np.asarray(smallest_eigenvector_sym3x3(a))
+    np.testing.assert_allclose(np.abs(v), [0, 1, 0], atol=1e-5)
+
+
+def test_smallest_eigenvector_vs_numpy(rng):
+    mats = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    sym = mats @ mats.transpose(0, 2, 1)
+    v = np.asarray(smallest_eigenvector_sym3x3(jnp.asarray(sym)))
+    w, vecs = np.linalg.eigh(sym)
+    want = vecs[:, :, 0]
+    dots = np.abs(np.sum(v * want, axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-3)
+
+
+def test_normals_on_plane(rng):
+    xy = rng.uniform(-1, 1, (256, 2)).astype(np.float32)
+    pts = np.concatenate([xy, np.zeros((256, 1), np.float32)], axis=1)
+    pts += rng.normal(0, 1e-4, pts.shape).astype(np.float32)
+    normals = np.asarray(
+        estimate_normals(jnp.asarray(pts), k=12, viewpoint=jnp.array([0.0, 0.0, 10.0]))
+    )
+    np.testing.assert_allclose(normals[:, 2], 1.0, atol=1e-2)
+
+
+def test_normals_on_sphere(rng):
+    v = rng.normal(size=(512, 3)).astype(np.float32)
+    pts = v / np.linalg.norm(v, axis=1, keepdims=True)
+    normals = np.asarray(estimate_normals(jnp.asarray(pts), k=8))
+    dots = np.abs(np.sum(normals * pts, axis=-1))
+    assert np.quantile(dots, 0.1) > 0.95  # normals align with radial direction
+
+
+# -- hidden point removal ---------------------------------------------------
+
+def test_hpr_sphere_front_visible(rng):
+    v = rng.normal(size=(2000, 3))
+    pts = v / np.linalg.norm(v, axis=1, keepdims=True)
+    camera = np.array([10.0, 0.0, 0.0])
+    visible = hidden_point_removal(pts, camera)
+    assert 0 < len(visible) < 2000
+    front = pts[:, 0] > 0.3
+    back = pts[:, 0] < -0.3
+    vis_mask = np.zeros(2000, bool)
+    vis_mask[visible] = True
+    # most clearly-front points visible, most clearly-back points hidden
+    assert vis_mask[front].mean() > 0.9
+    assert vis_mask[back].mean() < 0.1
