@@ -71,7 +71,7 @@ def main() -> None:
     results: dict[str, tuple[float, int]] = {}
     for precision in ("default", "highest"):
         best, best_batch = 0.0, 0
-        for batch_size in (512, 1024, 2048):
+        for batch_size in (1024, 2048):
             try:
                 rate = bench_infer(batch_size, precision)
             except Exception as e:

@@ -73,6 +73,78 @@ class PointwiseBlock(nn.Module):
         return apply_activation(x, self.activation)
 
 
+class _SplitKernelDense(nn.Module):
+    """Dense over a virtual concat [local ++ broadcast(global)] without
+    materializing the concat: ``local @ K[:d] + global @ K[d:]``.
+
+    Parameter tree is identical to ``nn.Dense`` over the concatenated input
+    (one (d_local + d_global, features) kernel), so checkpoints/weight
+    transfer are unaffected; only the contraction order changes. The
+    per-point matmul shrinks from (d_local + d_global) to d_local wide — for
+    PointNet's segmentation head that is 1088 -> 64 per point, the single
+    largest FLOP reduction in the model.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, local: jnp.ndarray, global_feats: jnp.ndarray) -> jnp.ndarray:
+        d_local = local.shape[-1]
+        d_global = global_feats.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (d_local + d_global, self.features),
+        )
+        if self.dtype is not None:
+            local = local.astype(self.dtype)
+            global_feats = global_feats.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        per_point = local @ kernel[:d_local]
+        per_cloud = global_feats @ kernel[d_local:]
+        out = per_point + per_cloud[..., None, :]
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + (bias.astype(self.dtype) if self.dtype is not None else bias)
+        return out
+
+
+class ConcatPointwiseBlock(nn.Module):
+    """PointwiseBlock over [per-point features ++ tiled global vector],
+    computed via :class:`_SplitKernelDense` (same params as PointwiseBlock
+    fed the explicit concat)."""
+
+    features: int
+    apply_bn: bool = True
+    bn_momentum: float = KERAS_BN_MOMENTUM
+    activation: Optional[str] = "relu"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        local: jnp.ndarray,
+        global_feats: jnp.ndarray,
+        *,
+        train: bool,
+        frozen: bool = False,
+    ) -> jnp.ndarray:
+        x = _SplitKernelDense(
+            self.features, use_bias=not self.apply_bn, dtype=self.dtype, name="conv"
+        )(local, global_feats)
+        if self.apply_bn:
+            x = nn.BatchNorm(
+                use_running_average=(not train) or frozen,
+                momentum=self.bn_momentum,
+                epsilon=KERAS_BN_EPSILON,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        return apply_activation(x, self.activation)
+
+
 class DenseBlock(nn.Module):
     """Dense + optional BN + activation.
 

@@ -28,7 +28,11 @@ from flax import linen as nn
 
 from pointcloudprocessing_tpu.core.config import TrainableConfig
 from pointcloudprocessing_tpu.core.constants import KERAS_BN_MOMENTUM
-from pointcloudprocessing_tpu.models.layers import PointwiseBlock, DenseBlock
+from pointcloudprocessing_tpu.models.layers import (
+    ConcatPointwiseBlock,
+    DenseBlock,
+    PointwiseBlock,
+)
 from pointcloudprocessing_tpu.models.tnet import TNet
 from pointcloudprocessing_tpu.ops.normalize import normalize_unit_sphere
 
@@ -178,16 +182,13 @@ class PointNet(nn.Module):
         )(x_cls.astype(jnp.float32), train=train, frozen=freeze.classification_head)
 
         # Segmentation head on [per-point 64-d ++ tiled global 1024-d]
-        # (PointNet.py:268-290).
-        n = x_64.shape[-2]
-        tiled_global = jnp.broadcast_to(
-            global_features[..., None, :], (*global_features.shape[:-1], n, 1024)
-        )
-        x_seg = jnp.concatenate([x_64, tiled_global], axis=-1)  # (b, n, 1088)
-
-        x_seg = PointwiseBlock(512, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_1")(
-            x_seg, train=train, frozen=freeze.segmentation_head
-        )
+        # (PointNet.py:268-290). The concat is virtual: the first seg layer's
+        # 1088-wide kernel splits into a 64-wide per-point matmul plus a
+        # per-cloud contribution (ConcatPointwiseBlock) — ~1.8x fewer model
+        # FLOPs with an identical parameter tree.
+        x_seg = ConcatPointwiseBlock(
+            512, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_1"
+        )(x_64, global_features, train=train, frozen=freeze.segmentation_head)
         x_seg = PointwiseBlock(256, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_2")(
             x_seg, train=train, frozen=freeze.segmentation_head
         )
