@@ -263,6 +263,14 @@ class TrainProfile:
         pc = self._pc_sets[stage.name]
         stage_dir = f"{cfg.model_path}{self._stage_paths[stage.name]}"
 
+        if pc.split_count("train") == 0 or pc.split_count("val") == 0:
+            raise RuntimeError(
+                f"Stage '{stage.name}' has no data (train="
+                f"{pc.split_count('train')}, val={pc.split_count('val')}). "
+                f"Ingest collects into the '{cfg.name}_{stage.name}' dataset or "
+                "list them under training_profiles.<stage>.datasets."
+            )
+
         weights = (
             stage.loss_weights.classification,
             stage.loss_weights.segmentation,
