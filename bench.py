@@ -1,22 +1,20 @@
-"""Benchmark: PointNet inference throughput on one chip.
+"""Benchmarks on one TPU chip, covering the five BASELINE.json configs.
 
-Headline metric (BASELINE.json): 1024-pt clouds/sec/chip for the flagship
-multi-head PointNet (23 classes / 12 parts, both T-Nets — the kc46/f15
-model). Prints ONE JSON line; vs_baseline is relative to the 10k
-clouds/s/chip north-star target (the reference's GPU training loop ran ~97
-clouds/s, BASELINE.md).
+stdout: ONE JSON line — the headline metric (1024-pt clouds/sec/chip,
+multi-head PointNet inference; vs_baseline relative to the 10k north star).
+stderr: the full config sweep —
+  1. PointNet classification inference (single cloud p50 latency + batch)
+  2. voxel downsample + kNN normal estimation (Mpoints/sec)
+  3. training loop, 1024-pt clouds, batch 32, with T-Net regularization
+  4. segmentation variant, 2048-pt clouds, batch 64
+  5. end-to-end pipeline: scans -> voxel/FPS/normals -> PointNet, one fused
+     XLA program per batch
 
-Methodology notes:
-- The axon TPU tunnel dispatches asynchronously and ``block_until_ready``
-  does not wait for remote execution, so each step's output is folded back
-  into the next step's input (scaled by 1e-24 — numerically a no-op, but not
-  algebraically removable, so XLA cannot DCE the model). A single host read
-  syncs the chain; outputs stay device-resident as in a real serving loop.
-- Primary number uses JAX's default TPU matmul precision (bf16 passes on the
-  MXU — the standard jit path). The exact-f32 mode
-  (``jax.default_matmul_precision('highest')``) is also measured and shown
-  in the metric detail; it is the mode whose logits match the TF reference
-  to <=1e-4.
+Timing: the axon TPU tunnel dispatches asynchronously and
+``block_until_ready`` does not wait for remote execution, so each step's
+output is folded back into the next step's input (x + tie*1e-24 — a
+numerical no-op that is not algebraically removable, preventing DCE); a
+single host read syncs the chain.
 """
 
 from __future__ import annotations
@@ -29,42 +27,151 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointcloudprocessing_tpu.models import PointNet
+from pointcloudprocessing_tpu.core.config import LearningConfig
+from pointcloudprocessing_tpu.models import PointNet, FreezeFlags
+from pointcloudprocessing_tpu.ops import (
+    estimate_normals_batch,
+    farthest_point_sample_batch,
+    voxel_downsample_batch,
+)
+from pointcloudprocessing_tpu.train import steps as steps_lib
 
 NORTH_STAR = 10_000.0  # clouds/s/chip (BASELINE.md)
-WIDTH = 1024
 NUM_CLASSES = 23
 NUM_PARTS = 12
 
 
-def bench_infer(batch_size: int, precision: str, steps: int = 30) -> float:
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _chain_time(fn, x0, steps: int) -> float:
+    """Seconds/step for chained fn: x -> x (compiled outside)."""
+    x = fn(x0)
+    _ = float(x.ravel()[0])  # compile + sync
+    x = x0
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x = fn(x)
+    _ = float(x.ravel()[0])
+    return (time.perf_counter() - t0) / steps
+
+
+def _tie(out_tree, x):
+    total = sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out_tree))
+    return x + total * 1e-24
+
+
+def bench_infer(batch_size: int, width: int, precision: str, steps: int = 20) -> float:
     model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)
     pts = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch_size, WIDTH, 3)).astype(np.float32)
+        np.random.default_rng(0).normal(size=(batch_size, width, 3)).astype(np.float32)
     )
     variables = jax.device_put(model.init(jax.random.key(0), pts[:1], train=False))
 
-    def forward_chained(variables, points):
+    @jax.jit
+    def step(points):
         with jax.default_matmul_precision(precision):
             out = model.apply(variables, points, train=False)
-        tie = (
-            out["classification_output"].sum()
-            + out["segmentation_output"].sum()
-            + out["se3"].sum()
-        )
-        return points + tie * 1e-24
+        return _tie(out, points)
 
-    f = jax.jit(forward_chained)
-    x = f(variables, pts)
-    _ = float(x[0, 0, 0])  # compile + sync
+    dt = _chain_time(step, pts, steps)
+    return batch_size / dt
 
-    x = pts
+
+def bench_latency_p50(width: int = 1024, steps: int = 50) -> float:
+    """Single-cloud inference p50 latency (ms). Per-call host sync — includes
+    the tunnel round-trip, so this is an upper bound on on-device latency."""
+    model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(1, width, 3)).astype(np.float32))
+    variables = jax.device_put(model.init(jax.random.key(0), pts, train=False))
+
+    @jax.jit
+    def step(points):
+        out = model.apply(variables, points, train=False)
+        return out["classification_output"]
+
+    _ = np.asarray(step(pts))
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        _ = np.asarray(step(pts))
+        times.append(time.perf_counter() - t0)
+    return float(np.percentile(times, 50) * 1e3)
+
+
+def bench_preprocess(batch: int = 8, width: int = 8192, steps: int = 10) -> float:
+    """Voxel downsample + kNN PCA normals, Mpoints/sec (config 2 shape: one
+    F-15 LiDAR scan is 8192 points)."""
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(-30, 30, (batch, width, 3)).astype(np.float32)
+    )
+
+    @jax.jit
+    def step(x):
+        vox, mask = voxel_downsample_batch(x, 0.5)
+        normals = estimate_normals_batch(vox, k=16, valid_mask=mask)
+        return _tie((vox, normals), x)
+
+    dt = _chain_time(step, pts, steps)
+    return batch * width / dt / 1e6
+
+
+def bench_train_step(batch: int = 32, width: int = 1024, steps: int = 20) -> float:
+    """Full train step (jitter+fwd+bwd+Adam), T-Net regularization on
+    (config 3)."""
+    model = PointNet(
+        num_classes=NUM_CLASSES, num_parts=NUM_PARTS,
+        regularize_input_transform=True, regularize_feature_transform=True,
+    )
+    freeze = FreezeFlags()
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), width, LearningConfig(rate=1e-4), freeze,
+        batch_size=1,
+    )
+    train_step = steps_lib.make_train_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.01, 0.01, 0.01)
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, width, 3)).astype(np.float32))
+    targets = {
+        "classification_output": jnp.asarray(rng.integers(0, NUM_CLASSES, batch).astype(np.int32)),
+        "segmentation_output": jnp.asarray(rng.integers(0, NUM_PARTS, (batch, width)).astype(np.int32)),
+        "se3": jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (batch, 1, 1))),
+    }
+    key = jax.random.key(1)
+
+    state, logs = train_step(state, x, targets, key)  # compile
+    _ = float(logs["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
-        x = f(variables, x)
-    _ = float(x[0, 0, 0])  # sync
-    dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+        state, logs = train_step(state, x, targets, key)
+    _ = float(logs["loss"])  # loss depends on params -> syncs the chain
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt
+
+
+def bench_e2e_pipeline(batch: int = 256, width_in: int = 2048, width_out: int = 1024,
+                       steps: int = 10) -> float:
+    """Streamed scans -> voxel/FPS/normals -> PointNet classify, single fused
+    XLA program per batch (config 5)."""
+    model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(-20, 20, (batch, width_in, 3)).astype(np.float32)
+    )
+    dummy = jnp.zeros((1, width_out, 3), jnp.float32)
+    variables = jax.device_put(model.init(jax.random.key(0), dummy, train=False))
+
+    @jax.jit
+    def step(x):
+        vox, mask = voxel_downsample_batch(x, 0.4)
+        idx = farthest_point_sample_batch(vox, width_out, mask)
+        sampled = jnp.take_along_axis(vox, idx[..., None].repeat(3, -1), axis=1)
+        out = model.apply(variables, sampled, train=False)
+        return _tie(out, x)
+
+    dt = _chain_time(step, pts, steps)
+    return batch / dt
 
 
 def main() -> None:
@@ -73,24 +180,39 @@ def main() -> None:
         best, best_batch = 0.0, 0
         for batch_size in (1024, 2048):
             try:
-                rate = bench_infer(batch_size, precision)
+                rate = bench_infer(batch_size, 1024, precision)
             except Exception as e:
-                print(f"batch {batch_size} {precision} failed: {e}", file=sys.stderr)
+                log(f"infer batch {batch_size} {precision} failed: {e}")
                 continue
-            print(f"{precision} batch {batch_size}: {rate:.0f} clouds/s", file=sys.stderr)
+            log(f"[1] infer {precision} batch {batch_size}: {rate:.0f} clouds/s")
             if rate > best:
                 best, best_batch = rate, batch_size
         results[precision] = (best, best_batch)
 
+    extras = {}
+    for name, fn in [
+        ("latency_p50_ms", bench_latency_p50),
+        ("preprocess_Mpts_per_s", bench_preprocess),
+        ("train_clouds_per_s_b32", bench_train_step),
+        ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
+        ("e2e_pipeline_clouds_per_s", bench_e2e_pipeline),
+    ]:
+        try:
+            extras[name] = fn()
+            log(f"[*] {name}: {extras[name]:.1f}")
+        except Exception as e:
+            log(f"{name} failed: {type(e).__name__}: {e}")
+
     best, best_batch = results["default"]
     f32_exact = results.get("highest", (0.0, 0))[0]
+    detail = (
+        f"batch {best_batch}; exact-f32 parity mode {f32_exact:.0f}; "
+        + "; ".join(f"{k} {v:.1f}" for k, v in extras.items())
+    )
     print(
         json.dumps(
             {
-                "metric": (
-                    f"pointnet_infer_clouds_per_sec_per_chip_{WIDTH}pt "
-                    f"(batch {best_batch}; exact-f32 parity mode: {f32_exact:.0f})"
-                ),
+                "metric": f"pointnet_infer_clouds_per_sec_per_chip_1024pt ({detail})",
                 "value": round(best, 1),
                 "unit": "clouds/s",
                 "vs_baseline": round(best / NORTH_STAR, 3),

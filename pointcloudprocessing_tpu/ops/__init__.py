@@ -16,6 +16,7 @@ from pointcloudprocessing_tpu.ops.normals import (
     estimate_normals_batch,
 )
 from pointcloudprocessing_tpu.ops.hpr import hidden_point_removal, spherical_flip
+from pointcloudprocessing_tpu.ops.icp import icp
 
 __all__ = [
     "mat_ops",
@@ -34,4 +35,5 @@ __all__ = [
     "estimate_normals_batch",
     "hidden_point_removal",
     "spherical_flip",
+    "icp",
 ]

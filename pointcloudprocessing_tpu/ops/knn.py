@@ -27,20 +27,27 @@ def knn(
     points: jnp.ndarray,
     k: int,
     valid_mask: jnp.ndarray | None = None,
+    exact: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest neighbors of each query among points.
 
     Args:
       queries: (nq, 3); points: (np, 3).
       valid_mask: optional (np,) bool; invalid points are pushed to +inf.
+      exact: True -> lax.top_k (exact, slower); False -> lax.approx_min_k
+        (TPU-optimized partial reduction, ~10x faster at n=8192, recall
+        ~0.95+ — the right default for normal estimation / grouping).
 
     Returns (indices (nq, k) int32, sq_dists (nq, k)) sorted ascending.
     """
     d = pairwise_sq_dists(queries, points)
     if valid_mask is not None:
         d = jnp.where(valid_mask[None, :], d, jnp.inf)
-    neg_d, idx = jax.lax.top_k(-d, k)
-    return idx.astype(jnp.int32), -neg_d
+    if exact:
+        neg_d, idx = jax.lax.top_k(-d, k)
+        return idx.astype(jnp.int32), -neg_d
+    vals, idx = jax.lax.approx_min_k(d, k)
+    return idx.astype(jnp.int32), vals
 
 
 def knn_batch(
@@ -48,11 +55,12 @@ def knn_batch(
     points: jnp.ndarray,
     k: int,
     valid_mask: jnp.ndarray | None = None,
+    exact: bool = True,
 ):
     """(b, nq, 3), (b, np, 3) -> ((b, nq, k), (b, nq, k))."""
     if valid_mask is None:
         valid_mask = jnp.ones(points.shape[:2], bool)
-    return jax.vmap(lambda q, p, m: knn(q, p, k, m))(queries, points, valid_mask)
+    return jax.vmap(lambda q, p, m: knn(q, p, k, m, exact))(queries, points, valid_mask)
 
 
 def group_points(points: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:

@@ -63,6 +63,7 @@ def estimate_normals(
     k: int = 16,
     valid_mask: jnp.ndarray | None = None,
     viewpoint: jnp.ndarray | None = None,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Per-point unit normals from PCA over k neighborhoods.
 
@@ -71,10 +72,12 @@ def estimate_normals(
       k: neighborhood size (includes the point itself).
       valid_mask: optional (n,) bool.
       viewpoint: optional (3,) — orient normals toward this point.
+      exact: False (default) uses approx_min_k neighbors — ~10x faster on
+        TPU with negligible effect on the PCA plane fit.
 
     Returns (n, 3) unit normals.
     """
-    idx, _ = knn(points, points, k, valid_mask)
+    idx, _ = knn(points, points, k, valid_mask, exact)
     neighbors = points[idx]  # (n, k, 3)
     mean = jnp.mean(neighbors, axis=-2, keepdims=True)
     centered = neighbors - mean
@@ -93,11 +96,12 @@ def estimate_normals_batch(
     k: int = 16,
     valid_mask: jnp.ndarray | None = None,
     viewpoint: jnp.ndarray | None = None,
+    exact: bool = False,
 ):
     if valid_mask is None:
         valid_mask = jnp.ones(points.shape[:2], bool)
     if viewpoint is None:
-        return jax.vmap(lambda p, m: estimate_normals(p, k, m))(points, valid_mask)
-    return jax.vmap(lambda p, m, v: estimate_normals(p, k, m, v))(
+        return jax.vmap(lambda p, m: estimate_normals(p, k, m, None, exact))(points, valid_mask)
+    return jax.vmap(lambda p, m, v: estimate_normals(p, k, m, v, exact))(
         points, valid_mask, viewpoint
     )

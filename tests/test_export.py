@@ -1,0 +1,64 @@
+"""Export path tests: StableHLO round-trip and TF SavedModel."""
+
+import numpy as np
+import jax
+import pytest
+
+from pointcloudprocessing_tpu.models import PointNet
+from pointcloudprocessing_tpu.export.stablehlo import (
+    export_stablehlo,
+    load_stablehlo,
+    export_tf_savedmodel,
+    make_inference_fn,
+)
+
+B, N, C, P = 2, 64, 5, 3
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = PointNet(num_classes=C, num_parts=P, vanilla=True)
+    pts = np.random.default_rng(0).normal(size=(B, N, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), pts, train=False)
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    return model, variables, pts
+
+
+def test_stablehlo_symbolic_batch(model_and_vars, tmp_path):
+    model, variables, pts = model_and_vars
+    path = str(tmp_path / "m.stablehlo")
+    export_stablehlo(model, variables, N, path)
+    exported = load_stablehlo(path)
+    # works for multiple batch sizes (symbolic batch dim, like the ONNX -1)
+    for b in (1, 2, 4):
+        x = np.random.default_rng(b).normal(size=(b, N, 3)).astype(np.float32)
+        cls, seg, se3 = exported.call(x)
+        assert cls.shape == (b, C)
+        assert seg.shape == (b, N, P)
+        assert se3.shape == (b, 3, 3)
+    # parity with the live model
+    cls, seg, se3 = exported.call(pts)
+    want = model.apply(variables, pts, train=False)
+    np.testing.assert_allclose(
+        np.asarray(cls), np.asarray(want["classification_output"]), atol=1e-5
+    )
+
+
+def test_tf_savedmodel_roundtrip(model_and_vars, tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    model, variables, pts = model_and_vars
+    path = str(tmp_path / "savedmodel")
+    assert export_tf_savedmodel(model, variables, N, path)
+
+    loaded = tf.saved_model.load(path)
+    cls, seg, se3 = loaded.f(tf.constant(pts))
+    want = model.apply(variables, pts, train=False)
+    np.testing.assert_allclose(
+        cls.numpy(), np.asarray(want["classification_output"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        seg.numpy(), np.asarray(want["segmentation_output"]), atol=1e-4
+    )
+    # symbolic batch: different batch size works
+    cls2, _, _ = loaded.f(tf.constant(pts[:1]))
+    assert cls2.shape == (1, C)
