@@ -80,6 +80,49 @@ class MeshSampler:
             self.mesh.scale(scale, np.zeros(3))
             self._rotate_and_center_3d_mesh()
 
+    # -- plotly viewers (reference MeshSampler.py:61-191; gated) -----------
+
+    def show_mesh(self, title: str = "Mesh") -> None:
+        if self.mesh is None:
+            print(f"{self.ADVISORY_HEADER}No mesh loaded.")
+            return
+        try:
+            import plotly.graph_objects as go
+        except ImportError:
+            print(f"{self.ADVISORY_HEADER}plotly is not installed.")
+            return
+        v, f = self.mesh.vertices, self.mesh.triangles
+        fig = go.Figure(
+            data=[go.Mesh3d(x=v[:, 0], y=v[:, 1], z=v[:, 2],
+                            i=f[:, 0], j=f[:, 1], k=f[:, 2],
+                            color="lightblue", opacity=1.0)]
+        )
+        fig.update_layout(scene=dict(aspectmode="data"), title=title)
+        fig.show()
+
+    def display_point_clouds(self, clouds: list, labels: list,
+                             title: str = "Point Cloud") -> None:
+        assert len(clouds) == len(labels), (
+            "display_point_clouds:  ensure there is a label for each cloud"
+        )
+        try:
+            import plotly.graph_objects as go
+        except ImportError:
+            print(f"{self.ADVISORY_HEADER}plotly is not installed.")
+            return
+        plots = [
+            go.Scatter3d(x=c[:, 0], y=c[:, 1], z=c[:, 2], mode="markers",
+                         marker=dict(size=2, opacity=1.0), name=labels[i])
+            for i, c in enumerate(clouds)
+        ]
+        fig = go.Figure(data=plots)
+        fig.update_layout(
+            scene=dict(xaxis_title="X", yaxis_title="Y", zaxis_title="Z",
+                       aspectmode="data"),
+            title=title, margin=dict(l=0, r=0, b=0, t=40),
+        )
+        fig.show()
+
     def _rotate_and_center_3d_mesh(self) -> None:
         """Rotate about the configured center then translate it to the origin
         (reference MeshSampler.py:325-340)."""

@@ -43,6 +43,27 @@ def reorthogonalize(dcm: np.ndarray) -> np.ndarray:
     return np.asarray(_ops.reorthogonalize(np.asarray(dcm, dtype=float)))
 
 
+def plot_euler_angles(traces: np.ndarray, trace_labels: list, title: str) -> None:
+    """Euler-angle trace plot (reference utils/mat_ops.py:67-90; plotly-gated)."""
+    assert len(traces.shape) == 2, "`traces` must be a 2D np.ndarray"
+    assert traces.shape[0] == len(trace_labels), (
+        "Number of trace labels must equal number of traces"
+    )
+    try:
+        import plotly.graph_objects as go
+        from plotly.subplots import make_subplots
+    except ImportError:
+        print("plot_euler_angles: plotly is not installed.")
+        return
+    x = np.arange(1, traces.shape[1])
+    fig = make_subplots()
+    for i, trace in enumerate(traces):
+        fig.add_trace(go.Scatter(x=x, y=trace, mode="lines", name=trace_labels[i]))
+    fig.update_layout(title=title)
+    fig.update_yaxes(title_text="Angle (deg)")
+    fig.show()
+
+
 def convert_radar_to_global(
     rg_az_el: np.ndarray, radar_pos: np.ndarray, radar_rpy: np.ndarray
 ) -> np.ndarray:

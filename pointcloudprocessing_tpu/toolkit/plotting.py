@@ -265,6 +265,27 @@ class QuiverPlot:
         )
 
 
+class MatplotlibCanvas:
+    """Qt-embedded matplotlib canvas (reference custom_plotting.py:4-11;
+    requires matplotlib's Qt backend + PyQt6)."""
+
+    def __new__(cls, *args, **kwargs):
+        try:
+            from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg
+            from matplotlib.figure import Figure
+        except ImportError as e:
+            raise ImportError(
+                "MatplotlibCanvas requires matplotlib with a Qt backend "
+                "(PyQt6). Headless plotting is available via the other "
+                "plot classes' get_data()/get_fig()."
+            ) from e
+
+        fig = Figure(*args, **kwargs)
+        canvas = FigureCanvasQTAgg(fig)
+        canvas.axes = fig.add_subplot(111)
+        return canvas
+
+
 class LineCanvas:
     """2D line-segment figure (reference custom_plotting.py:422-469)."""
 
