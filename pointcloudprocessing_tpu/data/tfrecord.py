@@ -148,9 +148,15 @@ def _decode_scalar_list(buf: bytes, is_float: bool):
             if wire == 2:  # packed varints
                 ln, pos = _read_varint(buf, pos)
                 end = pos + ln
-                while pos < end:
-                    v, pos = _read_varint(buf, pos)
-                    ints.append(v)
+                chunk = np.frombuffer(buf[pos:end], dtype=np.uint8)
+                if chunk.size and not (chunk & 0x80).any():
+                    # fast path: every varint is a single byte (labels < 128)
+                    ints.extend(chunk.tolist())
+                    pos = end
+                else:
+                    while pos < end:
+                        v, pos = _read_varint(buf, pos)
+                        ints.append(v)
             else:
                 v, pos = _read_varint(buf, pos)
                 ints.append(v)
