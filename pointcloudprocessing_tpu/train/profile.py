@@ -178,6 +178,9 @@ class TrainProfile:
         self._pretrained_model = cfg.continue_training_model
         # epoch-end hooks for testing/observability: fn(stage, epoch, logs)
         self.epoch_callbacks: list[Callable] = []
+        # set to a directory to capture a jax.profiler trace of each stage's
+        # second epoch (first epoch is compile-dominated)
+        self.profile_dir: str | None = None
 
     # ------------------------------------------------------------------
 
@@ -307,6 +310,11 @@ class TrainProfile:
 
         try:
             for epoch in range(cfg.epochs):
+                profiling = self.profile_dir is not None and epoch == 1
+                if profiling:
+                    jax.profiler.start_trace(
+                        f"{self.profile_dir}/{stage.name}"
+                    )
                 t0 = time.perf_counter()
                 batch_logs = []
                 for x, targets in train_loader.batches(
@@ -314,6 +322,9 @@ class TrainProfile:
                 ):
                     state, logs = train_step(state, x, targets, rng)
                     batch_logs.append(logs)
+                if profiling:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
                 train_metrics = _epoch_metrics(jax.device_get(batch_logs))
 
                 val_logs = []
