@@ -198,4 +198,168 @@ int64_t pcp_parse_aftr_frame(
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// TFRecord + tf.train.Example decoding
+// ---------------------------------------------------------------------------
+//
+// Schema-specific fast path for the reference's feature layout
+// (PointCloudSet.py:100-105): observations (width*3 floats), class_label
+// (int64), part_labels (width int64s), se3 (9 floats). Returns the number of
+// records decoded into the caller's contiguous arrays, or a negative error
+// code: -1 I/O, -2 CRC, -3 malformed proto, -4 capacity exceeded,
+// -5 unexpected feature length.
+
+#include <cstdio>
+
+static const uint32_t kMaskDelta = 0xa282ead8u;
+
+static uint32_t masked_crc32c(const uint8_t* p, uint64_t n) {
+    uint32_t crc = pcp_crc32c(p, n, 0);
+    return (((crc >> 15) | (crc << 17)) + kMaskDelta);
+}
+
+static bool read_varint(const uint8_t*& p, const uint8_t* end, uint64_t* out) {
+    uint64_t result = 0;
+    int shift = 0;
+    while (p < end) {
+        uint8_t b = *p++;
+        result |= (uint64_t)(b & 0x7F) << shift;
+        if (!(b & 0x80)) { *out = result; return true; }
+        shift += 7;
+        if (shift > 63) return false;
+    }
+    return false;
+}
+
+struct ExampleOut {
+    float* obs;       // width*3
+    int64_t* cls;     // 1
+    int64_t* parts;   // width
+    float* se3;       // 9
+};
+
+// Decode one serialized Example into out; width = expected point count.
+static int decode_example(const uint8_t* buf, uint64_t len, int64_t width,
+                          ExampleOut out) {
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + len;
+    while (p < end) {
+        uint64_t tag;
+        if (!read_varint(p, end, &tag)) return -3;
+        if ((tag >> 3) != 1 || (tag & 7) != 2) return -3;  // Example.features
+        uint64_t flen;
+        if (!read_varint(p, end, &flen)) return -3;
+        const uint8_t* fend = p + flen;
+        while (p < fend) {
+            uint64_t ftag;
+            if (!read_varint(p, fend, &ftag)) return -3;
+            if ((ftag >> 3) != 1 || (ftag & 7) != 2) return -3;  // map entry
+            uint64_t elen;
+            if (!read_varint(p, fend, &elen)) return -3;
+            const uint8_t* eend = p + elen;
+
+            const uint8_t* key = nullptr; uint64_t keylen = 0;
+            const uint8_t* val = nullptr; uint64_t vallen = 0;
+            while (p < eend) {
+                uint64_t etag;
+                if (!read_varint(p, eend, &etag)) return -3;
+                uint64_t blen;
+                if (!read_varint(p, eend, &blen)) return -3;
+                if ((etag >> 3) == 1) { key = p; keylen = blen; }
+                else if ((etag >> 3) == 2) { val = p; vallen = blen; }
+                p += blen;
+            }
+            if (!key || !val) return -3;
+
+            // val is a Feature: float_list=2 / int64_list=3, then field 1
+            const uint8_t* v = val;
+            const uint8_t* vend = val + vallen;
+            uint64_t vtag, vlen;
+            if (!read_varint(v, vend, &vtag)) return -3;
+            if (!read_varint(v, vend, &vlen)) return -3;
+            const uint8_t* list = v;
+            const uint8_t* listend = v + vlen;
+            uint64_t ltag, llen;
+            if (!read_varint(list, listend, &ltag)) return -3;
+            if (!read_varint(list, listend, &llen)) return -3;
+            // list now points at packed payload of length llen
+
+            if (keylen == 12 && memcmp(key, "observations", 12) == 0) {
+                if ((int64_t)llen != width * 3 * 4) return -5;
+                memcpy(out.obs, list, llen);
+            } else if (keylen == 11 && memcmp(key, "class_label", 11) == 0) {
+                const uint8_t* q = list;
+                uint64_t value;
+                if (!read_varint(q, list + llen, &value)) return -3;
+                *out.cls = (int64_t)value;
+            } else if (keylen == 11 && memcmp(key, "part_labels", 11) == 0) {
+                const uint8_t* q = list;
+                const uint8_t* qend = list + llen;
+                int64_t i = 0;
+                while (q < qend && i < width) {
+                    uint64_t value;
+                    if (!read_varint(q, qend, &value)) return -3;
+                    out.parts[i++] = (int64_t)value;
+                }
+                if (i != width) return -5;
+            } else if (keylen == 3 && memcmp(key, "se3", 3) == 0) {
+                if (llen != 9 * 4) return -5;
+                memcpy(out.se3, list, llen);
+            }
+        }
+    }
+    return 0;
+}
+
+int64_t pcp_read_tfrecord_file(
+    const char* path, int64_t width, int64_t max_records,
+    float* obs_out,      // (max_records, width, 3)
+    int64_t* cls_out,    // (max_records,)
+    int64_t* parts_out,  // (max_records, width)
+    float* se3_out       // (max_records, 3, 3)
+) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+
+    int64_t count = 0;
+    uint8_t header[12];
+    uint8_t* buf = nullptr;
+    uint64_t buf_cap = 0;
+
+    while (true) {
+        size_t got = fread(header, 1, 12, f);
+        if (got == 0) break;
+        if (got < 12) { fclose(f); free(buf); return -3; }
+        uint64_t length;
+        memcpy(&length, header, 8);
+        uint32_t len_crc;
+        memcpy(&len_crc, header + 8, 4);
+        if (masked_crc32c(header, 8) != len_crc) { fclose(f); free(buf); return -2; }
+
+        if (length + 4 > buf_cap) {
+            buf_cap = length + 4;
+            buf = (uint8_t*)realloc(buf, buf_cap);
+            if (!buf) { fclose(f); return -1; }
+        }
+        if (fread(buf, 1, length + 4, f) != length + 4) { fclose(f); free(buf); return -3; }
+        uint32_t data_crc;
+        memcpy(&data_crc, buf + length, 4);
+        if (masked_crc32c(buf, length) != data_crc) { fclose(f); free(buf); return -2; }
+
+        if (count >= max_records) { fclose(f); free(buf); return -4; }
+        ExampleOut out{
+            obs_out + count * width * 3,
+            cls_out + count,
+            parts_out + count * width,
+            se3_out + count * 9,
+        };
+        int rc = decode_example(buf, length, width, out);
+        if (rc != 0) { fclose(f); free(buf); return rc; }
+        ++count;
+    }
+    fclose(f);
+    free(buf);
+    return count;
+}
+
 }  // extern "C"

@@ -77,6 +77,16 @@ def _try_load() -> "ctypes.CDLL | None":
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.pcp_read_tfrecord_file.restype = ctypes.c_int64
+        lib.pcp_read_tfrecord_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return _lib
 
@@ -166,3 +176,46 @@ def parse_aftr_frame_native(
         bool(had_unknown.value),
         int(non_finite.value),
     )
+
+
+# ---------------------------------------------------------------------------
+# TFRecord fast reader (schema-specific)
+# ---------------------------------------------------------------------------
+
+_TFRECORD_ERRORS = {
+    -1: "I/O error",
+    -2: "corrupt record CRC",
+    -3: "malformed record",
+    -4: "record count exceeds capacity",
+    -5: "unexpected feature length (wrong network_input_width?)",
+}
+
+
+def read_tfrecord_file_native(path: str, width: int, max_records: int):
+    """C++ fast path: decode a whole reference-schema TFRecord file into
+    (obs (m, width, 3) f32, cls (m,) i64, parts (m, width) i64,
+    se3 (m, 3, 3) f32). Returns None when the native library is unavailable;
+    raises ValueError on corrupt files."""
+    lib = _try_load()
+    if lib is None:
+        return None
+
+    obs = np.empty((max_records, width, 3), dtype=np.float32)
+    cls = np.empty(max_records, dtype=np.int64)
+    parts = np.empty((max_records, width), dtype=np.int64)
+    se3 = np.empty((max_records, 3, 3), dtype=np.float32)
+
+    n = lib.pcp_read_tfrecord_file(
+        path.encode(),
+        width,
+        max_records,
+        obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cls.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        parts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        se3.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if n < 0:
+        raise ValueError(
+            f"{path}: {_TFRECORD_ERRORS.get(int(n), f'error {n}')}"
+        )
+    return obs[:n], cls[:n], parts[:n], se3[:n]
