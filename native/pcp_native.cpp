@@ -243,12 +243,14 @@ static int decode_example(const uint8_t* buf, uint64_t len, int64_t width,
                           ExampleOut out) {
     const uint8_t* p = buf;
     const uint8_t* end = buf + len;
+    // every length field is validated against its enclosing buffer before use
     while (p < end) {
         uint64_t tag;
         if (!read_varint(p, end, &tag)) return -3;
         if ((tag >> 3) != 1 || (tag & 7) != 2) return -3;  // Example.features
         uint64_t flen;
         if (!read_varint(p, end, &flen)) return -3;
+        if (flen > (uint64_t)(end - p)) return -3;
         const uint8_t* fend = p + flen;
         while (p < fend) {
             uint64_t ftag;
@@ -256,6 +258,7 @@ static int decode_example(const uint8_t* buf, uint64_t len, int64_t width,
             if ((ftag >> 3) != 1 || (ftag & 7) != 2) return -3;  // map entry
             uint64_t elen;
             if (!read_varint(p, fend, &elen)) return -3;
+            if (elen > (uint64_t)(fend - p)) return -3;
             const uint8_t* eend = p + elen;
 
             const uint8_t* key = nullptr; uint64_t keylen = 0;
@@ -265,6 +268,7 @@ static int decode_example(const uint8_t* buf, uint64_t len, int64_t width,
                 if (!read_varint(p, eend, &etag)) return -3;
                 uint64_t blen;
                 if (!read_varint(p, eend, &blen)) return -3;
+                if (blen > (uint64_t)(eend - p)) return -3;
                 if ((etag >> 3) == 1) { key = p; keylen = blen; }
                 else if ((etag >> 3) == 2) { val = p; vallen = blen; }
                 p += blen;
@@ -277,11 +281,13 @@ static int decode_example(const uint8_t* buf, uint64_t len, int64_t width,
             uint64_t vtag, vlen;
             if (!read_varint(v, vend, &vtag)) return -3;
             if (!read_varint(v, vend, &vlen)) return -3;
+            if (vlen > (uint64_t)(vend - v)) return -3;
             const uint8_t* list = v;
             const uint8_t* listend = v + vlen;
             uint64_t ltag, llen;
             if (!read_varint(list, listend, &ltag)) return -3;
             if (!read_varint(list, listend, &llen)) return -3;
+            if (llen > (uint64_t)(listend - list)) return -3;
             // list now points at packed payload of length llen
 
             if (keylen == 12 && memcmp(key, "observations", 12) == 0) {

@@ -90,6 +90,17 @@ class DeviceLoader:
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Put that never blocks forever: gives up when the consumer
+            abandoned the generator (stop set)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             produced = 0
             for idx in self._batch_indices():
@@ -100,9 +111,10 @@ class DeviceLoader:
                     batch = jax.device_put(batch, device)
                 else:
                     batch = jax.device_put(batch)
-                q.put(batch)
+                if not _put(batch):
+                    return
                 produced += 1
-            q.put(None)
+            _put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -114,9 +126,10 @@ class DeviceLoader:
                 yield batch
         finally:
             stop.set()
-            # drain so the producer can exit
-            while not q.empty():
+            # drain so a blocked producer can observe stop and exit
+            while thread.is_alive():
                 try:
                     q.get_nowait()
                 except queue.Empty:
-                    break
+                    thread.join(timeout=0.2)
+            thread.join(timeout=1.0)

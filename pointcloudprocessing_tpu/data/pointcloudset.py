@@ -112,15 +112,9 @@ class PointCloudSet:
     # -- persistence ------------------------------------------------------
 
     def save(self) -> None:
-        # print_func may be a bound method of a logger — strip before pickling.
-        print_func, rng = self._print, self._rng
-        self._print = None
-        try:
-            with open(f"{self._set_dir}/pc_set.joblib", "wb") as jl:
-                joblib.dump(self, jl)
-        finally:
-            self._print = print_func
-            self._rng = rng
+        # __getstate__ strips the (possibly logger-bound) print_func
+        with open(f"{self._set_dir}/pc_set.joblib", "wb") as jl:
+            joblib.dump(self, jl)
 
     def __getstate__(self):
         state = dict(self.__dict__)
@@ -155,6 +149,9 @@ class PointCloudSet:
         for i in range(len(lidar_contents)):
             frame_path = f"{lidar_dir}/frame_{i}.txt"
             try:
+                # pose lookup FIRST: a missing pose entry must skip the frame
+                # before any parallel-list append (alignment invariant)
+                se = state_info[i]["tanker_in_sensor_frame"][:3, :3]
                 obs, cls, parts = parse_frame_file(
                     frame_path, self._class_labels, self._part_labels
                 )
@@ -169,7 +166,7 @@ class PointCloudSet:
                 observations.append(obs)
                 class_labels.append(cls)
                 part_labels.append(parts)
-                se3.append(state_info[i]["tanker_in_sensor_frame"][:3, :3])
+                se3.append(se)
             except (FrameError, FileNotFoundError, KeyError) as e:
                 self._print(
                     f"Failed to add file {frame_path}:\n\t{type(e).__name__} : {e}"
@@ -251,31 +248,46 @@ class PointCloudSet:
         record reader when available (~30x the Python decoder)."""
         from pointcloudprocessing_tpu.utils.native import read_tfrecord_file_native
 
-        obs, cls, parts, se3 = [], [], [], []
         width = self._network_input_width
+        # per-file dense chunks, concatenated once (no per-record Python lists)
+        obs_chunks, cls_chunks, part_chunks, se3_chunks = [], [], [], []
         for path in self._split_files(split):
             # a record is at least ~13 bytes/point (12B float xyz + 1B label)
             cap = os.path.getsize(path) // max(width * 12, 1) + 8
             native = read_tfrecord_file_native(path, width, cap)
             if native is not None:
                 f_obs, f_cls, f_parts, f_se3 = native
-                obs.extend(f_obs)
-                cls.extend(int(c) for c in f_cls)
-                parts.extend(f_parts)
-                se3.extend(f_se3)
-                continue
-            for record in tfrecord.read_tfrecord_file(path):
-                ex = tfrecord.decode_example(record)
-                obs.append(ex["observations"].reshape(width, 3))
-                cls.append(int(ex["class_label"][0]))
-                parts.append(ex["part_labels"])
-                se3.append(ex["se3"].reshape(3, 3))
-        m = len(obs)
+            else:
+                obs, cls, parts, se3 = [], [], [], []
+                for record in tfrecord.read_tfrecord_file(path):
+                    ex = tfrecord.decode_example(record)
+                    obs.append(ex["observations"].reshape(width, 3))
+                    cls.append(int(ex["class_label"][0]))
+                    parts.append(ex["part_labels"])
+                    se3.append(ex["se3"].reshape(3, 3))
+                if not obs:
+                    continue
+                f_obs = np.stack(obs)
+                f_cls = np.asarray(cls, dtype=np.int64)
+                f_parts = np.stack(parts)
+                f_se3 = np.stack(se3)
+            obs_chunks.append(f_obs)
+            cls_chunks.append(f_cls)
+            part_chunks.append(f_parts)
+            se3_chunks.append(f_se3)
+
+        if not obs_chunks:
+            return {
+                "observations": np.zeros((0, width, 3), np.float32),
+                "class_label": np.zeros((0,), np.int32),
+                "part_labels": np.zeros((0, width), np.int32),
+                "se3": np.zeros((0, 3, 3), np.float32),
+            }
         return {
-            "observations": np.stack(obs) if m else np.zeros((0, width, 3), np.float32),
-            "class_label": np.asarray(cls, dtype=np.int32),
-            "part_labels": np.stack(parts).astype(np.int32) if m else np.zeros((0, width), np.int32),
-            "se3": np.stack(se3) if m else np.zeros((0, 3, 3), np.float32),
+            "observations": np.concatenate(obs_chunks),
+            "class_label": np.concatenate(cls_chunks).astype(np.int32),
+            "part_labels": np.concatenate(part_chunks).astype(np.int32),
+            "se3": np.concatenate(se3_chunks),
         }
 
     def get_train_set(self) -> DeviceLoader:

@@ -33,9 +33,14 @@ def data_parallel_mesh(devices=None, points_axis: int = 1) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch tensors: sharded on axis 0 over 'data' (and points over axis 1
-    when the mesh has a points axis)."""
+def batch_sharding(mesh: Mesh, points_dim_size: int | None = None) -> NamedSharding:
+    """Sharding for the (b, n, 3) point tensor: batch over 'data', and the
+    point axis over 'points' when the mesh has one.
+
+    NOTE: only valid for rank>=2 arrays whose axis 1 is the point axis —
+    use :func:`shard_batch` for a whole batch pytree (labels are rank 1 and
+    se3's axis 1 is the 3x3 rotation, neither of which may shard on
+    'points')."""
     if "points" in mesh.axis_names:
         return NamedSharding(mesh, P("data", "points"))
     return NamedSharding(mesh, P("data"))
@@ -50,11 +55,25 @@ def shard_train_state(state, mesh: Mesh):
     return jax.device_put(state, replicated_sharding(mesh))
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host batch with the batch axis sharded over 'data'."""
-    sharding = NamedSharding(mesh, P("data"))
+def shard_batch(batch, mesh: Mesh, points_width: int | None = None):
+    """Place a host batch pytree on the mesh: every leaf's axis 0 over
+    'data'; additionally axis 1 over 'points' for leaves whose axis 1 is the
+    point axis (identified by ``points_width``, e.g. the network input
+    width). Rank-1 leaves and se3 stay data-sharded only."""
+    data_only = NamedSharding(mesh, P("data"))
+    has_points = "points" in mesh.axis_names
+    data_points = (
+        NamedSharding(mesh, P("data", "points")) if has_points else data_only
+    )
 
     def put(x):
-        return jax.device_put(x, sharding)
+        if (
+            has_points
+            and points_width is not None
+            and getattr(x, "ndim", 0) >= 2
+            and x.shape[1] == points_width
+        ):
+            return jax.device_put(x, data_points)
+        return jax.device_put(x, data_only)
 
     return jax.tree_util.tree_map(put, batch)

@@ -381,10 +381,12 @@ class OptiTrackCalibrationView(_ViewBase):
             plot.add(f"{name}_x", arr[:, 0, 3])
             plot.add(f"{name}_y", arr[:, 1, 3])
             plot.add(f"{name}_z", arr[:, 2, 3])
-            rpy = [mat_ops.get_roll_pitch_yaw_deg(p[:3, :3]) for p in poses]
-            plot.add(f"{name}_roll", [a["roll"] for a in rpy], secondary_y=True)
-            plot.add(f"{name}_pitch", [a["pitch"] for a in rpy], secondary_y=True)
-            plot.add(f"{name}_yaw", [a["yaw"] for a in rpy], secondary_y=True)
+            # one batched call for all samples (per-pose dispatch is seconds
+            # of overhead on long logs)
+            rpy = mat_ops.get_roll_pitch_yaw_deg(arr[:, :3, :3])
+            plot.add(f"{name}_roll", np.asarray(rpy["roll"]), secondary_y=True)
+            plot.add(f"{name}_pitch", np.asarray(rpy["pitch"]), secondary_y=True)
+            plot.add(f"{name}_yaw", np.asarray(rpy["yaw"]), secondary_y=True)
         _set_html(self.plot_area, plot.get_fig())
 
     def sync(self) -> None:

@@ -328,10 +328,12 @@ class TrainProfile:
                 train_metrics = _epoch_metrics(jax.device_get(batch_logs))
 
                 val_logs = []
-                for x, targets in val_loader.batches(
-                    num_steps=validation_steps, device=batch_device
+                for i, (x, targets) in enumerate(
+                    val_loader.batches(num_steps=validation_steps, device=batch_device)
                 ):
-                    val_logs.append(eval_step(state, x, targets, rng))
+                    # fresh jitter noise per validation batch/epoch
+                    batch_rng = jax.random.fold_in(rng, epoch * validation_steps + i)
+                    val_logs.append(eval_step(state, x, targets, batch_rng))
                 val_metrics = {
                     f"val_{k}": v
                     for k, v in _epoch_metrics(jax.device_get(val_logs)).items()

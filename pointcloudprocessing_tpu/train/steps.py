@@ -188,21 +188,30 @@ def make_eval_step(
 ) -> Callable:
     """Build the jitted eval step: (state, x, targets, rng) -> logs.
 
-    Note the reference applies jitter augmentation to the validation pipeline
-    too (the same _parse_function backs all three splits,
-    PointCloudSet.py:325-391) — replicated here by default for val-loss
-    parity; pass apply_jitter=False for clean evaluation.
+    Notes for val-loss parity with the reference:
+    - jitter augmentation applies to the validation pipeline too (the same
+      _parse_function backs all three splits, PointCloudSet.py:325-391);
+      callers must pass a FRESH rng per batch (the driver folds in the
+      global step) so validation averages over noise like tf.random did.
+      Pass apply_jitter=False for clean evaluation.
+    - T-Net orthogonality regularizers are included in the total, matching
+      Keras adding model.losses in test_step as well.
     """
 
     def step(state: TrainState, x, targets, rng):
         if apply_jitter:
-            x = jitter(x, jax.random.fold_in(rng, 1), jitter_stdev)
-        outputs = model.apply(
+            x = jitter(x, rng, jitter_stdev)
+        outputs, updates = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x,
             train=False,
+            mutable=["reg_losses"],
         )
-        total, head_losses = multi_head_loss(outputs, targets, loss_weights, 0.0)
+        reg_sum = sum(
+            jnp.sum(v)
+            for v in jax.tree_util.tree_leaves(updates.get("reg_losses", {}))
+        )
+        total, head_losses = multi_head_loss(outputs, targets, loss_weights, reg_sum)
         return {"loss": total, **head_losses, **_metric_sums(outputs, targets)}
 
     return jax.jit(step)
