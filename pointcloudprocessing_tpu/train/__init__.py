@@ -11,6 +11,13 @@ from pointcloudprocessing_tpu.train.steps import (
     init_train_state,
 )
 from pointcloudprocessing_tpu.train.profile import TrainProfile, train_pointnet
+from pointcloudprocessing_tpu.train.hypertune import HyperTune, run_grid
+from pointcloudprocessing_tpu.train.callbacks import (
+    EarlyStopping,
+    BestCheckpoint,
+    CtrlCInterruptHandler,
+    load_checkpoint,
+)
 
 __all__ = [
     "sparse_categorical_crossentropy",
@@ -23,4 +30,10 @@ __all__ = [
     "init_train_state",
     "TrainProfile",
     "train_pointnet",
+    "HyperTune",
+    "run_grid",
+    "EarlyStopping",
+    "BestCheckpoint",
+    "CtrlCInterruptHandler",
+    "load_checkpoint",
 ]
