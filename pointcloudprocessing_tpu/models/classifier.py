@@ -22,10 +22,14 @@ from pointcloudprocessing_tpu.models.layers import PointwiseBlock, DenseBlock
 from pointcloudprocessing_tpu.models.tnet import TNet
 
 
-def _legacy_tnet(k: int, add_regularization: bool, name: str) -> TNet:
+def _legacy_tnet(
+    k: int, add_regularization: bool, name: str,
+    bn_momentum: float = KERAS_BN_MOMENTUM,
+) -> TNet:
     return TNet(
         k=k,
         add_regularization=add_regularization,
+        bn_momentum=bn_momentum,
         conv_apply_bn=False,
         conv_activation=None,
         w_init_zeros=True,
@@ -45,13 +49,13 @@ class PointNetClassifier(nn.Module):
         Note the legacy model applies NO input normalization
         (PointNetClassifier.py:152-183) — parity preserved.
         """
-        r = _legacy_tnet(3, False, "input_transform")(points, train=train)
+        r = _legacy_tnet(3, False, "input_transform", self.bn_momentum)(points, train=train)
         x = points @ r
 
         x = PointwiseBlock(64, bn_momentum=self.bn_momentum, name="mlp_1_1")(x, train=train)
         x = PointwiseBlock(64, bn_momentum=self.bn_momentum, name="mlp_1_2")(x, train=train)
 
-        r64 = _legacy_tnet(64, True, "feature_transform")(x, train=train)
+        r64 = _legacy_tnet(64, True, "feature_transform", self.bn_momentum)(x, train=train)
         x = x @ r64
 
         x = PointwiseBlock(64, bn_momentum=self.bn_momentum, name="mlp_2_1")(x, train=train)
@@ -60,9 +64,9 @@ class PointNetClassifier(nn.Module):
 
         x = jnp.max(x, axis=-2)  # (b, 1024)
 
-        x = DenseBlock(512, apply_bn=True, activation="relu", name="dense_1")(x, train=train)
+        x = DenseBlock(512, apply_bn=True, bn_momentum=self.bn_momentum, activation="relu", name="dense_1")(x, train=train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train, name="dropout_1")(x)
-        x = DenseBlock(256, apply_bn=True, activation="relu", name="dense_2")(x, train=train)
+        x = DenseBlock(256, apply_bn=True, bn_momentum=self.bn_momentum, activation="relu", name="dense_2")(x, train=train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train, name="dropout_2")(x)
         return DenseBlock(self.num_classes, activation="softmax", name="dense_out")(x, train=train)
 

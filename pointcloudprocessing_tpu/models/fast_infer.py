@@ -34,6 +34,12 @@ def _fold_block(params: dict, stats: dict | None, inner: str):
     """(kernel, bias) with inference-BN folded when present."""
     kernel = params[inner]["kernel"]
     if "bn" in params:
+        if not stats or "bn" not in stats:
+            raise ValueError(
+                "Variable tree has BatchNorm params but no batch_stats — "
+                "pass {'params': ..., 'batch_stats': ...} (a params-only "
+                "checkpoint cannot be BN-folded)."
+            )
         return fold_bn(
             kernel,
             params["bn"]["scale"],

@@ -33,6 +33,14 @@ def farthest_point_sample(
     if valid_mask is None:
         valid_mask = jnp.ones((n,), bool)
 
+    # never seed from an invalid (padding) row: fall back to the first valid
+    # point (all-invalid clouds degenerate to index 0)
+    start = jnp.where(
+        valid_mask[start_index],
+        jnp.asarray(start_index, jnp.int32),
+        jnp.argmax(valid_mask).astype(jnp.int32),
+    )
+
     inf = jnp.asarray(jnp.inf, points.dtype)
     neg = -inf
 
@@ -45,7 +53,7 @@ def farthest_point_sample(
         nxt = jnp.argmax(scored).astype(jnp.int32)
         return min_dist, selected.at[i].set(nxt)
 
-    selected0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(start_index)
+    selected0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(start)
     min_dist0 = jnp.full((n,), inf)
     _, selected = jax.lax.fori_loop(1, num_samples, body, (min_dist0, selected0))
     return selected

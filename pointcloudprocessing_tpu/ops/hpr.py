@@ -8,10 +8,10 @@ on the convex hull are the visible ones.
 The spherical flip is vectorized jnp (device-friendly); the convex hull is a
 data-dependent host step (scipy.spatial.ConvexHull — the same Qhull open3d
 wraps), which is fine on the offline synthesis path where the reference uses
-it. ``radius_param`` matches open3d's semantics: radius = max|p| * 10^param
-(the reference passes 1 — examples/MeshSampler.py:300 ``hidden_point_removal(-vp, 1)``
-uses radius argument 1... open3d takes an absolute radius; we accept either
-via ``radius=``).
+it. ``radius`` is the absolute inversion-sphere radius (open3d semantics);
+the default is 100x the max camera distance — large enough to see the whole
+surface, small enough that clearly-occluded back faces don't leak into the
+hull (very large radii flatten the inversion and admit back-face points).
 """
 
 from __future__ import annotations
@@ -36,8 +36,8 @@ def hidden_point_removal(
     Args:
       points: (n, 3) host array.
       camera: (3,) camera position.
-      radius: inversion sphere radius; None -> 1000 * max distance from the
-        camera (open3d-style default scale).
+      radius: inversion sphere radius; None -> 100 * max distance from the
+        camera (larger radii leak occluded back-face points into the hull).
 
     Returns sorted int indices of visible points.
     """
@@ -48,7 +48,7 @@ def hidden_point_removal(
     rel = points - camera
     dists = np.linalg.norm(rel, axis=-1)
     if radius is None:
-        radius = float(dists.max()) * 1000.0
+        radius = float(dists.max()) * 100.0
 
     flipped = np.asarray(spherical_flip(points, camera, radius))
     # include the camera origin so the hull encloses the viewpoint

@@ -77,7 +77,12 @@ def estimate_normals(
 
     Returns (n, 3) unit normals.
     """
-    idx, _ = knn(points, points, k, valid_mask, exact)
+    idx, d2 = knn(points, points, k, valid_mask, exact)
+    # neighborhoods smaller than k (few valid points): top-k pads with
+    # masked +inf entries whose indices are garbage — substitute the query
+    # point itself (zero contribution after centering)
+    own = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+    idx = jnp.where(jnp.isfinite(d2), idx, own)
     neighbors = points[idx]  # (n, k, 3)
     mean = jnp.mean(neighbors, axis=-2, keepdims=True)
     centered = neighbors - mean

@@ -52,20 +52,26 @@ def fold_bn(kernel, gamma, beta, mean, var, eps: float = KERAS_BN_EPSILON):
     return kernel * s[None, :], beta - mean * s
 
 
-def _pick_tile(n: int, candidates) -> int:
+def _pick_tile(n: int, candidates) -> int | None:
     for tile in candidates:
         if n % tile == 0:
             return tile
-    return n
+    return None
 
 
 def _tiles(b: int, n: int, vmem_width: int) -> tuple[int, int]:
     """(TB, TN) such that TB*TN*vmem_width f32 stays ~<= 8 MB — big blocks so
-    the (TB*TN, c) matmuls saturate the MXU."""
-    tn = _pick_tile(n, (256, 128, 512, 64, 32, 16, 8))
+    the (TB*TN, c) matmuls saturate the MXU. Raises for point counts with no
+    small divisor (a full-n block would blow VMEM on device)."""
     budget = (8 * 1024 * 1024) // 4 // max(vmem_width, 1)
+    tn = _pick_tile(n, tuple(t for t in (256, 128, 512, 64, 32, 16, 8) if t <= max(budget, 8)))
+    if tn is None:
+        raise ValueError(
+            f"Point count n={n} has no tile divisor in [8, 512]; pad the "
+            "cloud to a multiple of 8 points to use the fused Pallas kernels."
+        )
     tb = max(1, min(b, budget // tn))
-    tb = _pick_tile(b, tuple(t for t in (32, 16, 8, 4, 2, 1) if t <= tb))
+    tb = _pick_tile(b, tuple(t for t in (32, 16, 8, 4, 2, 1) if t <= tb)) or 1
     return tb, tn
 
 

@@ -52,11 +52,10 @@ def voxel_downsample(
     sorted_points = points[order]
     sorted_valid = valid_mask[order]
 
+    # valid rows sort first, so segment opens are simply coordinate changes
+    # among valid rows (plus row 0)
     differs = jnp.any(sorted_coords[1:] != sorted_coords[:-1], axis=-1)
-    is_new = jnp.concatenate([jnp.ones((1,), bool), differs])
-    is_new = is_new & sorted_valid
-    # first valid row always opens a segment (handles an invalid row 0)
-    is_new = is_new | (sorted_valid & ~jnp.concatenate([jnp.zeros((1,), bool), sorted_valid[:-1]]))
+    is_new = jnp.concatenate([jnp.ones((1,), bool), differs]) & sorted_valid
     rank = jnp.cumsum(is_new) - 1  # dense segment id per sorted row
     rank = jnp.where(sorted_valid, rank, n - 1)  # dump invalids in last bucket
 

@@ -94,6 +94,32 @@ def test_fps_valid_mask(rng):
     assert (idx < 10).all()
 
 
+def test_fps_invalid_seed_never_selected(rng):
+    """Regression: row 0 marked invalid must not be selected or seed the
+    min-dist scoring."""
+    pts = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    mask = jnp.concatenate([jnp.zeros(1, bool), jnp.ones(15, bool)])
+    idx = np.asarray(farthest_point_sample(pts, 6, mask))
+    assert (idx != 0).all()
+    assert len(np.unique(idx)) == 6
+
+
+def test_normals_fewer_valid_than_k(rng):
+    """Regression: with < k valid points, normals of valid points must not
+    be built from garbage padding rows."""
+    pts = np.zeros((32, 3), np.float32)
+    # 3 valid points on the z=0 plane; padding rows are garbage far away
+    pts[:3] = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+    pts[3:] = rng.uniform(500, 600, (29, 3))
+    mask = jnp.arange(32) < 3
+    normals = np.asarray(
+        estimate_normals(jnp.asarray(pts), k=16, valid_mask=mask,
+                         viewpoint=jnp.array([0.0, 0.0, 5.0]))
+    )
+    # valid points lie in the z=0 plane -> normal ~ +z
+    np.testing.assert_allclose(np.abs(normals[:3, 2]), 1.0, atol=1e-3)
+
+
 def test_fps_better_coverage_than_random(rng):
     """FPS minimum pairwise distance should beat random sampling."""
     pts = jnp.asarray(rng.uniform(-1, 1, (512, 3)).astype(np.float32))
@@ -189,4 +215,4 @@ def test_hpr_sphere_front_visible(rng):
     vis_mask[visible] = True
     # most clearly-front points visible, most clearly-back points hidden
     assert vis_mask[front].mean() > 0.9
-    assert vis_mask[back].mean() < 0.1
+    assert vis_mask[back].mean() < 0.01  # no back-face leakage
