@@ -1,0 +1,119 @@
+"""End-to-end serving pipeline: raw scans -> preprocess -> PointNet.
+
+The north-star serving configuration (BASELINE.json config 5): batched LiDAR
+scans stream host->HBM with double-buffered prefetch, and voxel downsample ->
+FPS -> (optional normals) -> PointNet compile into ONE XLA program per batch.
+
+Usage::
+
+    pipe = PointCloudPipeline(model, variables, scan_width=2048,
+                              model_width=1024, voxel_size=0.4)
+    for outputs in pipe.stream(scan_batches):   # iterator of (b, n, 3)
+        ...
+
+The reference has no serving path at all (inference happens inside notebook
+evaluate calls); this module is the deployment surface.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloudprocessing_tpu.models.pointnet import PointNet
+from pointcloudprocessing_tpu.ops.fps import farthest_point_sample_batch
+from pointcloudprocessing_tpu.ops.voxel import voxel_downsample_batch
+
+
+class PointCloudPipeline:
+    def __init__(
+        self,
+        model: PointNet,
+        variables: dict,
+        scan_width: int,
+        model_width: int,
+        voxel_size: float | None = None,
+        use_fps: bool = True,
+    ):
+        """Args:
+        scan_width: fixed input scan size (pad/truncate host-side).
+        model_width: points fed to the network (<= scan_width).
+        voxel_size: optional voxel downsample edge before sampling.
+        use_fps: farthest-point sampling to model_width (False = head
+          truncation of the voxel output — much faster, less uniform).
+        """
+        self.scan_width = scan_width
+        self.model_width = model_width
+
+        def run(points):
+            mask = None
+            if voxel_size is not None:
+                points, mask = voxel_downsample_batch(points, voxel_size)
+            if use_fps:
+                idx = farthest_point_sample_batch(points, model_width, mask)
+                sampled = jnp.take_along_axis(
+                    points, idx[..., None].repeat(3, -1), axis=1
+                )
+            else:
+                sampled = points[:, :model_width]
+            return model.apply(variables, sampled, train=False)
+
+        self._run = jax.jit(run)
+
+    def __call__(self, scans) -> dict[str, jnp.ndarray]:
+        """One batch: (b, scan_width, 3) -> model outputs."""
+        scans = jnp.asarray(scans, dtype=jnp.float32)
+        if scans.shape[1] != self.scan_width:
+            raise ValueError(
+                f"Expected scans of width {self.scan_width}, got {scans.shape[1]}"
+            )
+        return self._run(scans)
+
+    def stream(
+        self,
+        batches: Iterable[np.ndarray],
+        prefetch: int = 2,
+    ) -> Iterator[dict[str, jnp.ndarray]]:
+        """Pipelined inference: a background thread stages host batches onto
+        the device (double-buffered) while the current batch computes."""
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for batch in batches:
+                staged = jax.device_put(np.asarray(batch, dtype=np.float32))
+                while not stop.is_set():
+                    try:
+                        q.put(staged, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    return
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                staged = q.get()
+                if staged is None:
+                    return
+                yield self._run(staged)
+        finally:
+            stop.set()
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.2)
