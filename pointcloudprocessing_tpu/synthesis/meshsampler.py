@@ -82,6 +82,40 @@ class MeshSampler:
 
     # -- plotly viewers (reference MeshSampler.py:61-191; gated) -----------
 
+    def show_scene(self, cloud, title: str = "Capture Scene") -> None:
+        """Mesh + returns + camera positions overlay (reference
+        MeshSampler.py:130-191). ``cloud`` is a mapping with xg/yg/zg,
+        strength, cam_xg/cam_yg/cam_zg columns (e.g. a DataFrame)."""
+        assert self.mesh is not None, "show_scene:  no mesh loaded"
+        try:
+            import plotly.graph_objects as go
+        except ImportError:
+            print(f"{self.ADVISORY_HEADER}plotly is not installed.")
+            return
+        v, f = self.mesh.vertices, self.mesh.triangles
+        fig = go.Figure(
+            data=[
+                go.Mesh3d(x=v[:, 0], y=v[:, 1], z=v[:, 2],
+                          i=f[:, 0], j=f[:, 1], k=f[:, 2],
+                          color="lightblue", opacity=1.0),
+                go.Scatter3d(x=cloud["xg"], y=cloud["yg"], z=cloud["zg"],
+                             mode="markers",
+                             marker=dict(size=2, color=cloud["strength"],
+                                         colorscale="Viridis",
+                                         colorbar=dict(title="Magnitude")),
+                             name="Returns"),
+                go.Scatter3d(x=cloud["cam_xg"], y=cloud["cam_yg"],
+                             z=cloud["cam_zg"], mode="markers",
+                             marker=dict(size=2, color="red"), name="Camera"),
+            ]
+        )
+        fig.update_layout(
+            scene=dict(xaxis_title="X", yaxis_title="Y", zaxis_title="Z",
+                       aspectmode="data"),
+            title=title, margin=dict(l=0, r=0, b=0, t=40),
+        )
+        fig.show()
+
     def show_mesh(self, title: str = "Mesh") -> None:
         if self.mesh is None:
             print(f"{self.ADVISORY_HEADER}No mesh loaded.")
