@@ -1,0 +1,55 @@
+"""Config schema tests against the shipped flagship configs (reference
+kc46/f15 schema, core/config.py)."""
+
+import pytest
+
+from pointcloudprocessing_tpu.core.config import load_config
+
+
+def test_kc46_config_parses():
+    cfg = load_config("configs/kc46_lidar_config.json")
+    assert cfg.name == "kc46_lidar_vanilla"
+    assert cfg.num_classes == 23
+    assert cfg.num_parts == 12
+    assert cfg.class_labels[15] == "kc-46"      # index order preserved
+    assert cfg.part_labels[0] == "wing"
+    assert cfg.input_width == 8192
+    assert cfg.batch_size == 8
+    assert cfg.learning.rate == 1e-4
+    assert cfg.learning.decay_steps == 7000
+    assert cfg.vanilla is True
+    assert [s.name for s in cfg.stages] == ["classification_pretrain", "final"]
+
+    pretrain = cfg.stages[0]
+    assert pretrain.loss_weights.classification == 1.0
+    assert pretrain.loss_weights.segmentation == 0.0
+    assert pretrain.trainable.segmentation_head is False
+    assert pretrain.monitor == "val_classification_output_loss"
+    assert pretrain.noise.as_tuple() == (0.1, 0.1, 0.1)
+    assert len(pretrain.datasets) == 4
+
+    final = cfg.stages[1]
+    assert final.loss_weights.segmentation == 1.0
+    assert final.trainable.classification_head is False
+    assert final.monitor == "val_segmentation_output_loss"
+
+
+def test_f15_config_parses():
+    cfg = load_config("configs/f15_lidar_config.json")
+    assert cfg.num_classes == 23
+    assert cfg.input_width == 8192
+    assert len(cfg.stages) >= 1
+
+
+def test_template_config_parses():
+    cfg = load_config("configs/train_config_pointnet_segmentation_template.json")
+    assert cfg.num_classes >= 1
+    assert cfg.input_width > 0
+
+
+def test_configs_are_hashable_for_jit():
+    """Stage/trainable configs feed jit-static FreezeFlags — must be
+    hashable frozen dataclasses."""
+    cfg = load_config("configs/kc46_lidar_config.json")
+    hash(cfg.stages[0].trainable)
+    hash(cfg.learning)
