@@ -43,11 +43,19 @@ def voxel_downsample(
         valid_mask = jnp.ones((n,), bool)
 
     coords = jnp.floor(points / voxel_size).astype(jnp.int32)
-    # Lexicographic sort on (invalid, x, y, z): valid points first, grouped
-    # by voxel. (lexsort's last key is most significant.)
-    order = jnp.lexsort(
-        (coords[:, 2], coords[:, 1], coords[:, 0], ~valid_mask)
+    # Two-key lexicographic sort (each jnp sort pass is the dominant cost):
+    # keys are built from per-cloud-min-offset coords so they are
+    # non-negative. Minor key packs (y, z) into one int32 (15 bits each —
+    # exact for grid extents < 32768 voxels per axis, i.e. any real scan);
+    # major key is x with invalid rows pushed to +inf so valid points sort
+    # first, grouped by voxel.
+    rel = coords - jnp.min(
+        jnp.where(valid_mask[:, None], coords, jnp.iinfo(jnp.int32).max),
+        axis=0,
     )
+    yz = jnp.clip(rel[:, 1], 0, 32767) * 32768 + jnp.clip(rel[:, 2], 0, 32767)
+    major = jnp.where(valid_mask, rel[:, 0], jnp.iinfo(jnp.int32).max)
+    order = jnp.lexsort((yz, major))
     sorted_coords = coords[order]
     sorted_points = points[order]
     sorted_valid = valid_mask[order]
