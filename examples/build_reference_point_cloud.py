@@ -12,10 +12,12 @@ import sys
 
 import numpy as np
 
-HELP = """Incorrect input arguments. To run program:
-\tpython build_reference_point_cloud.py <point_cloud.txt> <offset>
-Where point_cloud.txt should have a line-by-line format of:  '(x, y, z) class_label part_label'
-and the offset is in the format \"(x,y,z)\"."""
+HELP = """usage: python build_reference_point_cloud.py <point_cloud.txt> <offset>
+
+  point_cloud.txt   one point per line as '(x, y, z) class_label part_label'
+  offset            translation to subtract, written as "(x,y,z)"
+
+Rewrites the file in place with the offset removed from every coordinate."""
 
 
 def main(filepath: str, offset: str) -> None:
@@ -24,11 +26,12 @@ def main(filepath: str, offset: str) -> None:
         offset_np = np.array([float(vals[0]), float(vals[1]), float(vals[2])])
     except Exception as e:
         print(HELP)
-        print(f"Error occurred while parsing offset:\n\t{type(e)}: {e}")
+        print(f"Could not parse the offset argument ({type(e).__name__}: {e})")
         return
 
     if not os.path.isfile(filepath):
         print(HELP)
+        print(f"No such file: {filepath}")
         return
 
     newlines = []
@@ -44,12 +47,12 @@ def main(filepath: str, offset: str) -> None:
                 )
             except Exception as e:
                 print(HELP)
-                print(f"Error occurred while parsing line:\n\t{type(e)}: {e}")
+                print(f"Could not parse a point line ({type(e).__name__}: {e})")
                 return
 
     with open(filepath, "w") as f:
         f.writelines(newlines)
-    print(f"Offset successfully applied to {filepath}.")
+    print(f"Wrote shifted cloud back to {filepath}")
 
 
 if __name__ == "__main__":

@@ -59,18 +59,19 @@ def get_reflection(
     ``corners``: (3, 3) CCW looking into the reflector; ``apex``: (3,).
     Returns {'collision_point', 'reflection_vector'} or {} on miss.
     """
-    if ray_origin.shape != (3,):
-        print_func(f"Parameter 'ray_origin' must be shape (3,), not {ray_origin.shape}")
-        return {}
-    if ray_vector.shape != (3,):
-        print_func(f"Parameter 'ray_vector' must be shape (3,), not {ray_vector.shape}")
-        return {}
-    if corners.shape != (3, 3):
-        print_func(f"Parameter 'corners' must be shape (3, 3), not {corners.shape}")
-        return {}
-    if apex.shape != (3,):
-        print_func(f"Parameter 'apex' must be shape (3,), not {apex.shape}")
-        return {}
+    expected = {
+        "ray_origin": (ray_origin, (3,)),
+        "ray_vector": (ray_vector, (3,)),
+        "corners": (corners, (3, 3)),
+        "apex": (apex, (3,)),
+    }
+    for name, (value, want) in expected.items():
+        if np.shape(value) != want:
+            print_func(
+                f"get_reflection: bad shape for {name!r} — "
+                f"expected {want}, got {np.shape(value)}"
+            )
+            return {}
 
     ring = np.concatenate((corners, corners[:1]), axis=0)
     triangles = []
