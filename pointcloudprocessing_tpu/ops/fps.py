@@ -1,10 +1,20 @@
-"""Farthest-point sampling (FPS) as a fixed-shape XLA loop.
+"""Farthest-point sampling (FPS) as a fixed-shape XLA program.
 
 North-star preprocessing op (BASELINE.json). Standard O(k*n) iteration: keep
 a running min-distance-to-selected-set per point; each step picks the argmax.
-The inner update is pure VPU elementwise work over a static (n,) buffer and
-the loop is a ``lax.fori_loop`` with static trip count — compiles to one
-tight XLA while-loop on device.
+
+TPU-shaped implementation notes (measured on v5e, batch 256 x 2048 pts -> 1024):
+
+- The selection loop runs at **batch level** (one ``lax.fori_loop`` whose
+  body updates all clouds at once). A per-cloud ``fori_loop`` under ``vmap``
+  lowers to per-iteration batched gathers/scatters that cost ~15x more
+  (375 ms vs 25 ms per batch).
+- ``method='distmat'`` precomputes the full pairwise squared-distance matrix
+  with one MXU matmul and turns the loop body into a row gather + min +
+  argmax (20 ms vs 25 ms for the streaming form). Memory is B*N^2 floats, so
+  ``method='auto'`` falls back to the streaming form for large inputs.
+- The streaming form extracts the last selected point with a one-hot
+  contraction (fusable VPU work) rather than a batched dynamic gather.
 """
 
 from __future__ import annotations
@@ -12,61 +22,105 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+_DEFAULT_DISTMAT_BYTES = 2 * 1024**3
 
-def farthest_point_sample(
-    points: jnp.ndarray,
-    num_samples: int,
-    valid_mask: jnp.ndarray | None = None,
-    start_index: int = 0,
-) -> jnp.ndarray:
-    """Select ``num_samples`` indices by farthest-point sampling.
 
-    Args:
-      points: (n, 3).
-      valid_mask: optional (n,) bool — invalid points are never selected.
-      start_index: index of the seed point.
-
-    Returns (num_samples,) int32 indices. If fewer valid points than
-    num_samples exist, selections repeat the farthest remaining valid points.
-    """
-    n = points.shape[0]
-    if valid_mask is None:
-        valid_mask = jnp.ones((n,), bool)
-
-    # never seed from an invalid (padding) row: fall back to the first valid
-    # point (all-invalid clouds degenerate to index 0)
-    start = jnp.where(
-        valid_mask[start_index],
-        jnp.asarray(start_index, jnp.int32),
-        jnp.argmax(valid_mask).astype(jnp.int32),
-    )
-
-    inf = jnp.asarray(jnp.inf, points.dtype)
-    neg = -inf
-
-    def body(i, carry):
-        min_dist, selected = carry
-        last = selected[i - 1]
-        d = jnp.sum(jnp.square(points - points[last]), axis=-1)
-        min_dist = jnp.minimum(min_dist, d)
-        scored = jnp.where(valid_mask, min_dist, neg)
-        nxt = jnp.argmax(scored).astype(jnp.int32)
-        return min_dist, selected.at[i].set(nxt)
-
-    selected0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(start)
-    min_dist0 = jnp.full((n,), inf)
-    _, selected = jax.lax.fori_loop(1, num_samples, body, (min_dist0, selected0))
-    return selected
+def _seed_indices(valid_mask: jnp.ndarray, start_index: int) -> jnp.ndarray:
+    """Per-cloud seed: ``start_index`` if valid, else first valid point."""
+    b = valid_mask.shape[0]
+    start = jnp.full((b,), start_index, jnp.int32)
+    fallback = jnp.argmax(valid_mask, axis=1).astype(jnp.int32)
+    return jnp.where(valid_mask[:, start_index], start, fallback)
 
 
 def farthest_point_sample_batch(
     points: jnp.ndarray,
     num_samples: int,
     valid_mask: jnp.ndarray | None = None,
+    start_index: int = 0,
+    method: str = "auto",
+    max_distmat_bytes: int = _DEFAULT_DISTMAT_BYTES,
 ) -> jnp.ndarray:
-    """(b, n, 3) -> (b, num_samples) indices."""
+    """FPS over a batch of padded clouds: (b, n, 3) -> (b, num_samples).
+
+    Args:
+      points: (b, n, 3).
+      valid_mask: optional (b, n) bool — invalid points are never selected.
+      start_index: seed index (falls back to the first valid point per cloud
+        when the seed row is invalid).
+      method: 'distmat' (precomputed pairwise matrix, fastest when it fits),
+        'stream' (O(n) memory), or 'auto'.
+      max_distmat_bytes: 'auto' picks 'distmat' while b*n*n*4 stays under
+        this budget.
+
+    If fewer valid points than num_samples exist, selections repeat the
+    farthest remaining valid points.
+    """
+    b, n = points.shape[:2]
     if valid_mask is None:
-        valid_mask = jnp.ones(points.shape[:2], bool)
-    return jax.vmap(lambda p, m: farthest_point_sample(p, num_samples, m))(
-        points, valid_mask
-    )
+        valid_mask = jnp.ones((b, n), bool)
+    if method == "auto":
+        # on TPU the VMEM-resident Pallas kernel wins (~3x over distmat) as
+        # long as a block's working set fits VMEM comfortably
+        if jax.default_backend() in ("tpu", "axon") and n <= 16384:
+            method = "pallas"
+        else:
+            method = "distmat" if b * n * n * 4 <= max_distmat_bytes else "stream"
+
+    start = _seed_indices(valid_mask, start_index)
+    if method == "pallas":
+        from pointcloudprocessing_tpu.ops.pallas.fps import fps_pallas
+
+        return fps_pallas(points, num_samples, valid_mask, start)
+    neg = jnp.asarray(-jnp.inf, points.dtype)
+    min_dist0 = jnp.full((b, n), jnp.inf, points.dtype)
+
+    if method == "distmat":
+        sq = jnp.sum(points * points, axis=-1)
+        gram = jnp.einsum("bnd,bmd->bnm", points, points)
+        dist = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
+
+        def step(min_dist, last):
+            row = jnp.take_along_axis(
+                dist, last[:, None, None].astype(jnp.int32), axis=1
+            )[:, 0, :]
+            return jnp.minimum(min_dist, row)
+
+    elif method == "stream":
+
+        def step(min_dist, last):
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (b, n), 1) == last[:, None]
+            ).astype(points.dtype)
+            last_pt = jnp.einsum("bn,bnd->bd", onehot, points)
+            d = jnp.sum(jnp.square(points - last_pt[:, None, :]), axis=-1)
+            return jnp.minimum(min_dist, d)
+
+    else:
+        raise ValueError(f"Unknown method {method!r}")
+
+    def body(i, carry):
+        min_dist, selected = carry
+        min_dist = step(min_dist, selected[:, i - 1])
+        nxt = jnp.argmax(jnp.where(valid_mask, min_dist, neg), axis=-1)
+        return min_dist, selected.at[:, i].set(nxt.astype(jnp.int32))
+
+    selected0 = jnp.zeros((b, num_samples), jnp.int32).at[:, 0].set(start)
+    if num_samples == 1:
+        return selected0
+    _, selected = jax.lax.fori_loop(1, num_samples, body, (min_dist0, selected0))
+    return selected
+
+
+def farthest_point_sample(
+    points: jnp.ndarray,
+    num_samples: int,
+    valid_mask: jnp.ndarray | None = None,
+    start_index: int = 0,
+    method: str = "auto",
+) -> jnp.ndarray:
+    """Single-cloud FPS: (n, 3) -> (num_samples,) int32 indices."""
+    mask = None if valid_mask is None else valid_mask[None]
+    return farthest_point_sample_batch(
+        points[None], num_samples, mask, start_index, method
+    )[0]

@@ -104,6 +104,20 @@ def test_fps_invalid_seed_never_selected(rng):
     assert len(np.unique(idx)) == 6
 
 
+def test_fps_methods_agree(rng):
+    """distmat, stream, and the Pallas kernel (interpret mode on CPU) must
+    produce identical selections."""
+    from pointcloudprocessing_tpu.ops.fps import farthest_point_sample_batch
+
+    pts = jnp.asarray(rng.normal(size=(4, 64, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(4, 64)) > 0.2)
+    mask = mask.at[:, 0].set(True)
+    ref = np.asarray(farthest_point_sample_batch(pts, 16, mask, method="distmat"))
+    for method in ("stream", "pallas"):
+        got = np.asarray(farthest_point_sample_batch(pts, 16, mask, method=method))
+        np.testing.assert_array_equal(got, ref, err_msg=method)
+
+
 def test_normals_fewer_valid_than_k(rng):
     """Regression: with < k valid points, normals of valid points must not
     be built from garbage padding rows."""
