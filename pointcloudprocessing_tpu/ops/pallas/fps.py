@@ -1,0 +1,105 @@
+"""Pallas TPU kernel for farthest-point sampling.
+
+FPS is a serial selection loop (each pick depends on the previous), so its
+cost is per-iteration latency, not FLOPs. The XLA formulations (ops/fps.py)
+pay HBM round-trips every iteration: the running min-distance buffer, the
+distance-matrix row gather, and the argmax all stream (B, N) arrays from HBM
+~K times. This kernel keeps the whole working set — coordinate planes,
+validity, and the min-distance buffer — resident in VMEM for a block of
+clouds and runs all K selection steps on the VPU without touching HBM
+(traffic is O(B*N) once, plus the (B, K) index output).
+
+Measured v5e, 256x2048 -> 1024: ~6 ms/batch vs 17-26 ms for the XLA
+distance-matrix forms.
+
+Layout: coordinates arrive as three (B, N) planes so the point axis lies on
+vector lanes; a block processes TB clouds on sublanes. The per-step argmax
+and the one-hot coordinate extraction are lane reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _fps_kernel(start_ref, xs_ref, ys_ref, zs_ref, valid_ref, out_ref, *, num_samples):
+    xs = xs_ref[...]  # (TB, N)
+    ys = ys_ref[...]
+    zs = zs_ref[...]
+    valid = valid_ref[...] > 0.5
+    tb, n = xs.shape
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1)
+    neg = jnp.float32(-jnp.inf)
+
+    start = start_ref[...]  # (TB, 1) int32
+    out_ref[:, pl.ds(0, 1)] = start
+
+    def coords_at(idx):
+        onehot = lanes == idx  # (TB, N)
+        cx = jnp.sum(jnp.where(onehot, xs, 0.0), axis=1, keepdims=True)
+        cy = jnp.sum(jnp.where(onehot, ys, 0.0), axis=1, keepdims=True)
+        cz = jnp.sum(jnp.where(onehot, zs, 0.0), axis=1, keepdims=True)
+        return cx, cy, cz
+
+    def body(i, carry):
+        min_dist, cur = carry
+        cx, cy, cz = coords_at(cur)
+        d = (
+            jnp.square(xs - cx) + jnp.square(ys - cy) + jnp.square(zs - cz)
+        )
+        min_dist = jnp.minimum(min_dist, d)
+        scored = jnp.where(valid, min_dist, neg)
+        nxt = jnp.argmax(scored, axis=1).astype(jnp.int32)[:, None]  # (TB, 1)
+        out_ref[:, pl.ds(i, 1)] = nxt
+        return min_dist, nxt
+
+    min_dist0 = jnp.full((tb, n), jnp.inf, jnp.float32)
+    if num_samples > 1:
+        jax.lax.fori_loop(1, num_samples, body, (min_dist0, start))
+
+
+def fps_pallas(
+    points: jnp.ndarray,
+    num_samples: int,
+    valid_mask: jnp.ndarray,
+    start: jnp.ndarray,
+    block_clouds: int = 16,
+) -> jnp.ndarray:
+    """FPS over a batch: points (b, n, 3), valid (b, n) bool, start (b,) int32
+    -> (b, num_samples) int32 indices. Caller guarantees semantics of
+    ``start`` (seed per cloud, valid)."""
+    b, n = points.shape[:2]
+    tb = block_clouds
+    while b % tb:
+        tb //= 2
+    tb = max(tb, 1)
+
+    planes = jnp.moveaxis(points.astype(jnp.float32), -1, 0)  # (3, b, n)
+    xs, ys, zs = planes[0], planes[1], planes[2]
+    validf = valid_mask.astype(jnp.float32)
+    start2d = start.astype(jnp.int32)[:, None]
+
+    kernel = functools.partial(_fps_kernel, num_samples=num_samples)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, 1), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, num_samples), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_samples), jnp.int32),
+        interpret=_interpret(),
+    )(start2d, xs, ys, zs, validf)
