@@ -66,7 +66,10 @@ class MeshSampler:
         center_point: np.ndarray = np.zeros(3),
         scale: float = 1.0,
         random_seed: int = 42,
+        mesh: Mesh | None = None,
     ):
+        """``mesh`` accepts an in-memory Mesh (e.g. from
+        synthesis.procedural) as an alternative to ``mesh_path``."""
         self.ADVISORY_HEADER = "MeshSampler:  "
         self.path = mesh_path
         self._R = np.asarray(rotation_matrix, dtype=float)
@@ -74,9 +77,10 @@ class MeshSampler:
         self.label = mesh_label
         self._seed = random_seed
 
-        self.mesh: Mesh | None = None
+        self.mesh: Mesh | None = mesh
         if self.path is not None:
             self.mesh = load_obj(self.path)
+        if self.mesh is not None:
             self.mesh.scale(scale, np.zeros(3))
             self._rotate_and_center_3d_mesh()
 
