@@ -317,22 +317,35 @@ static int decode_example(const uint8_t* buf, uint64_t len, int64_t width,
     return 0;
 }
 
-int64_t pcp_read_tfrecord_file(
-    const char* path, int64_t width, int64_t max_records,
-    float* obs_out,      // (max_records, width, 3)
-    int64_t* cls_out,    // (max_records,)
-    int64_t* parts_out,  // (max_records, width)
-    float* se3_out       // (max_records, 3, 3)
+// Shared record-loop. stop_at_capacity: return the records read so far when
+// max_records is hit (chunked streaming) instead of erroring (-4).
+// next_offset_out (optional): byte offset to resume from; -1 once EOF is hit.
+static int64_t read_tfrecords(
+    const char* path, int64_t byte_offset, int64_t width, int64_t max_records,
+    float* obs_out, int64_t* cls_out, int64_t* parts_out, float* se3_out,
+    bool stop_at_capacity, int64_t* next_offset_out
 ) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
+    if (byte_offset > 0 && fseek(f, (long)byte_offset, SEEK_SET) != 0) {
+        fclose(f);
+        return -1;
+    }
 
     int64_t count = 0;
     uint8_t header[12];
     uint8_t* buf = nullptr;
     uint64_t buf_cap = 0;
+    if (next_offset_out) *next_offset_out = -1;
 
     while (true) {
+        if (count >= max_records) {
+            if (stop_at_capacity) {
+                if (next_offset_out) *next_offset_out = (int64_t)ftell(f);
+                break;
+            }
+            fclose(f); free(buf); return -4;
+        }
         size_t got = fread(header, 1, 12, f);
         if (got == 0) break;
         if (got < 12) { fclose(f); free(buf); return -3; }
@@ -352,7 +365,6 @@ int64_t pcp_read_tfrecord_file(
         memcpy(&data_crc, buf + length, 4);
         if (masked_crc32c(buf, length) != data_crc) { fclose(f); free(buf); return -2; }
 
-        if (count >= max_records) { fclose(f); free(buf); return -4; }
         ExampleOut out{
             obs_out + count * width * 3,
             cls_out + count,
@@ -366,6 +378,31 @@ int64_t pcp_read_tfrecord_file(
     fclose(f);
     free(buf);
     return count;
+}
+
+int64_t pcp_read_tfrecord_file(
+    const char* path, int64_t width, int64_t max_records,
+    float* obs_out,      // (max_records, width, 3)
+    int64_t* cls_out,    // (max_records,)
+    int64_t* parts_out,  // (max_records, width)
+    float* se3_out       // (max_records, 3, 3)
+) {
+    return read_tfrecords(
+        path, 0, width, max_records, obs_out, cls_out, parts_out, se3_out,
+        /*stop_at_capacity=*/false, /*next_offset_out=*/nullptr);
+}
+
+// Chunked streaming read: decode up to max_records starting at byte_offset.
+// Writes the resume offset to next_offset_out (-1 when the file is
+// exhausted). Bounded-memory dataset streaming builds on this.
+int64_t pcp_read_tfrecord_chunk(
+    const char* path, int64_t byte_offset, int64_t width, int64_t max_records,
+    float* obs_out, int64_t* cls_out, int64_t* parts_out, float* se3_out,
+    int64_t* next_offset_out
+) {
+    return read_tfrecords(
+        path, byte_offset, width, max_records, obs_out, cls_out, parts_out,
+        se3_out, /*stop_at_capacity=*/true, next_offset_out);
 }
 
 }  // extern "C"

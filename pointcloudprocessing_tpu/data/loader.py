@@ -3,10 +3,15 @@
 Replaces the reference's tf.data pipeline (interleave/shuffle/repeat/map/
 batch/prefetch — PointCloudSet.py:347-363) with a TPU-first design:
 
-- The split lives in pinned host numpy arrays (decoded once from TFRecords).
-- Batches are assembled with a per-epoch permutation (epoch-level shuffle —
-  strictly stronger mixing than tf.data's 2048-record window).
-- A background thread stages the next batches onto the device
+- :class:`DeviceLoader`: the split lives in host numpy arrays (decoded once
+  from TFRecords); batches are assembled with a per-epoch permutation
+  (epoch-level shuffle — strictly stronger mixing than tf.data's 2048-record
+  window).
+- :class:`StreamingLoader`: out-of-core variant for splits larger than host
+  RAM — interleaves chunked TFRecord reads (C++ resumable reader) through a
+  fixed-size windowed shuffle buffer, reproducing the reference's
+  interleave(cycle=2)/shuffle(2048)/repeat semantics with bounded RSS.
+- Both stage batches onto the device from a background thread
   (``jax.device_put``) while the current step runs — double-buffered
   prefetch, so the accelerator never waits on the host.
 - Jitter augmentation is NOT applied here: it runs inside the jitted train
@@ -86,50 +91,248 @@ class DeviceLoader:
         """
         if len(self) == 0:
             return
+        host_batches = (self._make_batch(idx) for idx in self._batch_indices())
+        yield from _prefetch_to_device(host_batches, num_steps, device, prefetch)
 
-        q: queue.Queue = queue.Queue(maxsize=prefetch)
-        stop = threading.Event()
 
-        def _put(item) -> bool:
-            """Put that never blocks forever: gives up when the consumer
-            abandoned the generator (stop set)."""
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+def _prefetch_to_device(host_batches, num_steps, device, prefetch: int = 2):
+    """Stage host batches onto the device from a background thread."""
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
 
-        def producer():
-            produced = 0
-            for idx in self._batch_indices():
-                if stop.is_set() or (num_steps is not None and produced >= num_steps):
-                    break
-                batch = self._make_batch(idx)
-                if device is not None:
-                    batch = jax.device_put(batch, device)
+    def _put(item) -> bool:
+        """Put that never blocks forever: gives up when the consumer
+        abandoned the generator (stop set)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        produced = 0
+        for batch in host_batches:
+            if stop.is_set() or (num_steps is not None and produced >= num_steps):
+                break
+            if device is not None:
+                batch = jax.device_put(batch, device)
+            else:
+                batch = jax.device_put(batch)
+            if not _put(batch):
+                return
+            produced += 1
+        _put(None)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch
+    finally:
+        stop.set()
+        # drain so a blocked producer can observe stop and exit
+        while thread.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                thread.join(timeout=0.2)
+        thread.join(timeout=1.0)
+
+
+class StreamingLoader:
+    """Out-of-core repeating batch iterator over TFRecord files.
+
+    Reproduces the reference pipeline's streaming semantics
+    (``list_files -> interleave(cycle_length=2) -> shuffle(2048) -> repeat``,
+    PointCloudSet.py:347-363) without materializing the split: files are read
+    in fixed-size record chunks (C++ resumable reader, Python fallback),
+    interleaved round-robin, and mixed through a windowed shuffle buffer.
+    Host memory is bounded by
+    ``(shuffle_window + interleave * chunk_records + batch) * record_size``.
+
+    The windowed shuffle swaps whole chunks against distinct random buffer
+    slots (lossless; every record is emitted exactly once per epoch) rather
+    than tf.data's per-record swap — same window locality, vectorized.
+    """
+
+    def __init__(
+        self,
+        files: list[str],
+        width: int,
+        batch_size: int,
+        count: int,
+        shuffle_window: int = 2048,
+        seed: int | None = None,
+        interleave: int = 2,
+        chunk_records: int = 256,
+        use_native: bool = True,
+    ):
+        self._files = list(files)
+        self._width = width
+        self._batch_size = batch_size
+        self._count = count
+        self._window = max(shuffle_window, 1)
+        self._rng = np.random.default_rng(seed)
+        self._interleave = max(interleave, 1)
+        self._chunk_records = max(min(chunk_records, self._window), 1)
+        self._use_native = use_native
+
+    def __len__(self) -> int:
+        return self._count
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return max(self._count // self._batch_size, 0)
+
+    # -- record streaming ---------------------------------------------------
+
+    def _read_chunk(self, path: str, offset: int):
+        """((obs, cls, parts, se3), next_offset) starting at byte offset."""
+        if self._use_native:
+            from pointcloudprocessing_tpu.utils.native import (
+                read_tfrecord_chunk_native,
+            )
+
+            native = read_tfrecord_chunk_native(
+                path, offset, self._width, self._chunk_records
+            )
+            if native is not None:
+                obs, cls, parts, se3 = native[:4]
+                return (obs, cls.astype(np.int32), parts.astype(np.int32), se3), native[4]
+        # Python fallback: skip `offset` records (offset counts records here)
+        from pointcloudprocessing_tpu.data import tfrecord
+
+        obs_l, cls_l, parts_l, se3_l = [], [], [], []
+        consumed = 0
+        for i, record in enumerate(tfrecord.read_tfrecord_file(path)):
+            if i < offset:
+                continue
+            ex = tfrecord.decode_example(record)
+            obs_l.append(ex["observations"].reshape(self._width, 3))
+            cls_l.append(np.int32(ex["class_label"][0]))
+            parts_l.append(ex["part_labels"].astype(np.int32))
+            se3_l.append(ex["se3"].reshape(3, 3))
+            consumed += 1
+            if consumed >= self._chunk_records:
+                return (
+                    (np.stack(obs_l), np.asarray(cls_l), np.stack(parts_l), np.stack(se3_l)),
+                    offset + consumed,
+                )
+        if not obs_l:
+            return None, -1
+        return (
+            (np.stack(obs_l), np.asarray(cls_l), np.stack(parts_l), np.stack(se3_l)),
+            -1,
+        )
+
+    def _interleaved_chunks(self):
+        """Infinite chunk stream: per epoch, shuffle file order and round-robin
+        ``interleave`` concurrently-open files."""
+        while True:
+            order = self._rng.permutation(len(self._files))
+            pending = [self._files[i] for i in order]
+            open_files: list[list] = []  # [path, offset]
+            while pending or open_files:
+                while pending and len(open_files) < self._interleave:
+                    open_files.append([pending.pop(0), 0])
+                advanced = []
+                for entry in open_files:
+                    chunk, nxt = self._read_chunk(entry[0], entry[1])
+                    if chunk is not None:
+                        yield chunk
+                    if nxt >= 0:
+                        entry[1] = nxt
+                        advanced.append(entry)
+                open_files = advanced
+            yield None  # epoch boundary marker
+
+    def _examples(self):
+        """Windowed-shuffle example stream (obs, cls, part, se3 batches of
+        irregular size; epoch boundaries flush the buffer)."""
+        w, width = self._window, self._width
+        buf_obs = np.zeros((w, width, 3), np.float32)
+        buf_cls = np.zeros((w,), np.int32)
+        buf_parts = np.zeros((w, width), np.int32)
+        buf_se3 = np.zeros((w, 3, 3), np.float32)
+        filled = 0
+
+        for chunk in self._interleaved_chunks():
+            if chunk is None:
+                # epoch boundary: flush the buffer in random order
+                order = self._rng.permutation(filled)
+                if filled:
+                    yield (
+                        buf_obs[order], buf_cls[order],
+                        buf_parts[order], buf_se3[order],
+                    )
+                filled = 0
+                continue
+            obs, cls, parts, se3 = chunk
+            m = len(cls)
+            start = 0
+            while start < m:
+                if filled < w:
+                    # top the buffer up before any swapping — unfilled slots
+                    # must never be emitted
+                    take = min(w - filled, m - start)
+                    buf_obs[filled:filled + take] = obs[start:start + take]
+                    buf_cls[filled:filled + take] = cls[start:start + take]
+                    buf_parts[filled:filled + take] = parts[start:start + take]
+                    buf_se3[filled:filled + take] = se3[start:start + take]
+                    filled += take
                 else:
-                    batch = jax.device_put(batch)
-                if not _put(batch):
-                    return
-                produced += 1
-            _put(None)
+                    # buffer full: swap against distinct random slots
+                    take = min(m - start, w)
+                    slots = self._rng.choice(w, size=take, replace=False)
+                    yield (
+                        buf_obs[slots].copy(), buf_cls[slots].copy(),
+                        buf_parts[slots].copy(), buf_se3[slots].copy(),
+                    )
+                    buf_obs[slots] = obs[start:start + take]
+                    buf_cls[slots] = cls[start:start + take]
+                    buf_parts[slots] = parts[start:start + take]
+                    buf_se3[slots] = se3[start:start + take]
+                start += take
 
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        try:
-            while True:
-                batch = q.get()
-                if batch is None:
-                    return
-                yield batch
-        finally:
-            stop.set()
-            # drain so a blocked producer can observe stop and exit
-            while thread.is_alive():
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    thread.join(timeout=0.2)
-            thread.join(timeout=1.0)
+    def _host_batches(self):
+        """Assemble fixed-size batches from the example stream."""
+        b, width = self._batch_size, self._width
+        acc_obs = np.zeros((b, width, 3), np.float32)
+        acc_cls = np.zeros((b,), np.int32)
+        acc_parts = np.zeros((b, width), np.int32)
+        acc_se3 = np.zeros((b, 3, 3), np.float32)
+        n = 0
+        for obs, cls, parts, se3 in self._examples():
+            start = 0
+            while start < len(cls):
+                room = b - n
+                take = min(room, len(cls) - start)
+                acc_obs[n:n + take] = obs[start:start + take]
+                acc_cls[n:n + take] = cls[start:start + take]
+                acc_parts[n:n + take] = parts[start:start + take]
+                acc_se3[n:n + take] = se3[start:start + take]
+                n += take
+                start += take
+                if n == b:
+                    yield (
+                        acc_obs.copy(),
+                        {
+                            "classification_output": acc_cls.copy(),
+                            "segmentation_output": acc_parts.copy(),
+                            "se3": acc_se3.copy(),
+                        },
+                    )
+                    n = 0
+
+    def batches(self, num_steps: int | None = None, device=None, prefetch: int = 2):
+        """Iterate device-resident batches with background prefetch."""
+        if not self._files or self._count == 0:
+            return
+        yield from _prefetch_to_device(
+            self._host_batches(), num_steps, device, prefetch
+        )

@@ -32,7 +32,7 @@ from pointcloudprocessing_tpu.data.frames import (
     parse_frame_file,
     parse_state_info,
 )
-from pointcloudprocessing_tpu.data.loader import DeviceLoader
+from pointcloudprocessing_tpu.data.loader import DeviceLoader, StreamingLoader
 from pointcloudprocessing_tpu.ops.resample import adjust_to_input_width_np
 
 
@@ -290,29 +290,45 @@ class PointCloudSet:
             "se3": np.concatenate(se3_chunks),
         }
 
-    def get_train_set(self) -> DeviceLoader:
+    # splits whose TFRecords exceed this are streamed (windowed shuffle,
+    # bounded RSS) instead of decoded into RAM; override per instance
+    max_in_memory_bytes: int = 4 << 30
+
+    def _split_bytes(self, split: str) -> int:
+        return sum(os.path.getsize(p) for p in self._split_files(split))
+
+    def _make_loader(self, split: str, streaming: bool | None):
+        if streaming is None:
+            streaming = self._split_bytes(split) > getattr(
+                self, "max_in_memory_bytes", PointCloudSet.max_in_memory_bytes
+            )
+        if streaming:
+            return StreamingLoader(
+                self._split_files(split),
+                width=self._network_input_width,
+                batch_size=self._batch_size,
+                count=self.split_count(split),
+                seed=self._random_seed,
+            )
         return DeviceLoader(
-            self.load_split_arrays("train"),
+            self.load_split_arrays(split),
             batch_size=self._batch_size,
             shuffle=True,
             seed=self._random_seed,
         )
 
-    def get_val_set(self) -> DeviceLoader:
-        return DeviceLoader(
-            self.load_split_arrays("val"),
-            batch_size=self._batch_size,
-            shuffle=True,
-            seed=self._random_seed,
-        )
+    def get_train_set(self, streaming: bool | None = None):
+        """Loader for the train split. ``streaming=None`` auto-selects the
+        out-of-core StreamingLoader when the split exceeds
+        ``max_in_memory_bytes`` (reference analogue: the tf.data pipeline
+        never materializes a split, PointCloudSet.py:347-363)."""
+        return self._make_loader("train", streaming)
 
-    def get_test_set(self) -> DeviceLoader:
-        return DeviceLoader(
-            self.load_split_arrays("test"),
-            batch_size=self._batch_size,
-            shuffle=True,
-            seed=self._random_seed,
-        )
+    def get_val_set(self, streaming: bool | None = None):
+        return self._make_loader("val", streaming)
+
+    def get_test_set(self, streaming: bool | None = None):
+        return self._make_loader("test", streaming)
 
     # -- reports ----------------------------------------------------------
 

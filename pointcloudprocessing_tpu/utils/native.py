@@ -87,6 +87,18 @@ def _try_load() -> "ctypes.CDLL | None":
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.pcp_read_tfrecord_chunk.restype = ctypes.c_int64
+        lib.pcp_read_tfrecord_chunk.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -219,3 +231,38 @@ def read_tfrecord_file_native(path: str, width: int, max_records: int):
             f"{path}: {_TFRECORD_ERRORS.get(int(n), f'error {n}')}"
         )
     return obs[:n], cls[:n], parts[:n], se3[:n]
+
+
+def read_tfrecord_chunk_native(
+    path: str, byte_offset: int, width: int, max_records: int
+):
+    """C++ chunked reader: decode up to ``max_records`` starting at
+    ``byte_offset``. Returns (obs, cls, parts, se3, next_offset) where
+    next_offset is -1 at EOF, or None when the native library is unavailable.
+    Bounded-memory streaming (data.loader.StreamingLoader) builds on this."""
+    lib = _try_load()
+    if lib is None:
+        return None
+
+    obs = np.empty((max_records, width, 3), dtype=np.float32)
+    cls = np.empty(max_records, dtype=np.int64)
+    parts = np.empty((max_records, width), dtype=np.int64)
+    se3 = np.empty((max_records, 3, 3), dtype=np.float32)
+    next_offset = ctypes.c_int64(-1)
+
+    n = lib.pcp_read_tfrecord_chunk(
+        path.encode(),
+        byte_offset,
+        width,
+        max_records,
+        obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cls.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        parts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        se3.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(next_offset),
+    )
+    if n < 0:
+        raise ValueError(
+            f"{path}: {_TFRECORD_ERRORS.get(int(n), f'error {n}')}"
+        )
+    return obs[:n], cls[:n], parts[:n], se3[:n], int(next_offset.value)
