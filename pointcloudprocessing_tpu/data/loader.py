@@ -48,6 +48,7 @@ class DeviceLoader:
         self._arrays = arrays
         self._batch_size = batch_size
         self._shuffle = shuffle
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._drop_remainder = drop_remainder
 
@@ -58,19 +59,31 @@ class DeviceLoader:
     def steps_per_epoch(self) -> int:
         return max(len(self) // self._batch_size, 0)
 
-    def _batch_indices(self) -> Iterator[np.ndarray]:
+    def _epoch_rng(self, epoch: int | None) -> np.random.Generator:
+        """Per-epoch deterministic shuffling when seeded: epoch k's order
+        depends only on (seed, k), so a resumed run replays the exact batch
+        sequence of an uninterrupted one (mid-stage resume)."""
+        if epoch is not None and self._seed is not None:
+            return np.random.default_rng((self._seed, epoch))
+        return self._rng
+
+    def _batch_indices(self, epoch: int | None = None) -> Iterator[np.ndarray]:
         n = len(self)
         if n == 0:
             return
+        current = epoch
         while True:
-            order = self._rng.permutation(n) if self._shuffle else np.arange(n)
+            rng = self._epoch_rng(current)
+            order = rng.permutation(n) if self._shuffle else np.arange(n)
             end = n - (n % self._batch_size) if self._drop_remainder else n
             if end == 0:
                 # fewer samples than one batch: sample with replacement
-                yield self._rng.choice(n, self._batch_size)
-                continue
-            for start in range(0, end, self._batch_size):
-                yield order[start : start + self._batch_size]
+                yield rng.choice(n, self._batch_size)
+            else:
+                for start in range(0, end, self._batch_size):
+                    yield order[start : start + self._batch_size]
+            if current is not None:
+                current += 1
 
     def _make_batch(self, idx: np.ndarray):
         x = self._arrays["observations"][idx]
@@ -81,17 +94,25 @@ class DeviceLoader:
         }
         return x, targets
 
-    def batches(self, num_steps: int | None = None, device=None, prefetch: int = 2):
+    def batches(
+        self,
+        num_steps: int | None = None,
+        device=None,
+        prefetch: int = 2,
+        epoch: int | None = None,
+    ):
         """Iterate device-resident batches with background prefetch.
 
         Args:
           num_steps: stop after this many batches (None = infinite).
           device: jax device or Sharding for device_put (None = default).
           prefetch: queue depth for the staging thread.
+          epoch: optional epoch index for deterministic per-epoch shuffling
+            (requires a seeded loader); None keeps the stateful stream.
         """
         if len(self) == 0:
             return
-        host_batches = (self._make_batch(idx) for idx in self._batch_indices())
+        host_batches = (self._make_batch(idx) for idx in self._batch_indices(epoch))
         yield from _prefetch_to_device(host_batches, num_steps, device, prefetch)
 
 
@@ -329,8 +350,20 @@ class StreamingLoader:
                     )
                     n = 0
 
-    def batches(self, num_steps: int | None = None, device=None, prefetch: int = 2):
-        """Iterate device-resident batches with background prefetch."""
+    def batches(
+        self,
+        num_steps: int | None = None,
+        device=None,
+        prefetch: int = 2,
+        epoch: int | None = None,
+    ):
+        """Iterate device-resident batches with background prefetch.
+
+        ``epoch`` is accepted for interface parity with DeviceLoader but the
+        windowed-shuffle stream is not epoch-addressable: a resumed run sees
+        an equally-shuffled but not bit-identical batch order.
+        """
+        del epoch
         if not self._files or self._count == 0:
             return
         yield from _prefetch_to_device(

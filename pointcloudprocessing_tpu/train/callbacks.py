@@ -1,4 +1,5 @@
-"""Training callbacks: early stopping, best-checkpointing, Ctrl-C handling.
+"""Training callbacks: early stopping, best-checkpointing, Ctrl-C handling,
+mid-stage resume.
 
 Parity targets in pointnet_train.py:
 - EarlyStopping(monitor, mode='min', patience, restore_best_weights=True)
@@ -7,11 +8,20 @@ Parity targets in pointnet_train.py:
   (:207-214) — here an Orbax checkpoint directory instead of a .keras file.
 - CtrlC_InterruptHandler (:42-61): first SIGINT requests a stop after the
   current epoch; the second hard-exits.
+
+Beyond the reference (which restarts a killed stage from epoch 0 with a
+fresh optimizer): :class:`ResumeCheckpoint` periodically persists the FULL
+TrainState (params, batch_stats, optimizer state, step counter) plus the
+epoch index, history-so-far, and early-stopping counters, so a killed stage
+continues exactly where it stopped — same LR schedule position, same rng
+stream, same monitor bookkeeping.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import signal
 import sys
 from typing import Any, Callable
@@ -80,6 +90,68 @@ def load_checkpoint(directory: str) -> dict:
     """Load a BestCheckpoint payload ({params, batch_stats})."""
     path = os.path.join(os.path.abspath(directory), "best")
     return ocp.StandardCheckpointer().restore(path)
+
+
+class ResumeCheckpoint:
+    """Periodic full-TrainState checkpointing for mid-stage resume.
+
+    Layout under ``<stage_dir>/resume/``: ``state/`` (Orbax: the whole
+    TrainState pytree incl. optimizer state) and ``meta.json`` (next epoch,
+    history lists, early-stopping counters). Written every ``period`` epochs
+    and removed by :meth:`clear` when the stage completes, so finished stages
+    never resume stale state.
+    """
+
+    def __init__(self, directory: str, period: int = 1,
+                 print_func: Callable[[str], None] = print):
+        self.directory = os.path.join(os.path.abspath(directory), "resume")
+        self.period = max(period, 1)
+        self._print = print_func
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, epoch: int, state, history: dict, early: "EarlyStopping") -> None:
+        if (epoch + 1) % self.period:
+            return
+        self._ckptr.save(
+            os.path.join(self.directory, "state"),
+            jax.device_get(state),
+            force=True,
+        )
+        self._ckptr.wait_until_finished()
+        meta = {
+            "next_epoch": epoch + 1,
+            "history": {k: list(map(float, v)) for k, v in history.items()},
+            "early": {
+                "best": early.best,
+                "best_epoch": early.best_epoch,
+                "wait": early.wait,
+            },
+        }
+        tmp = os.path.join(self.directory, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.directory, "meta.json"))
+
+    def clear(self) -> None:
+        shutil.rmtree(self.directory, ignore_errors=True)
+
+    @staticmethod
+    def exists(stage_dir: str) -> bool:
+        return os.path.isfile(
+            os.path.join(os.path.abspath(stage_dir), "resume", "meta.json")
+        )
+
+    @staticmethod
+    def load(stage_dir: str, state_template):
+        """Restore (state, meta) from a stage directory; ``state_template``
+        supplies the pytree structure/dtypes (a freshly initialized state)."""
+        base = os.path.join(os.path.abspath(stage_dir), "resume")
+        with open(os.path.join(base, "meta.json")) as f:
+            meta = json.load(f)
+        state = ocp.StandardCheckpointer().restore(
+            os.path.join(base, "state"), jax.device_get(state_template)
+        )
+        return state, meta
 
 
 class CtrlCInterruptHandler:

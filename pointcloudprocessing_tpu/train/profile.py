@@ -52,6 +52,7 @@ from pointcloudprocessing_tpu.train.callbacks import (
     BestCheckpoint,
     CtrlCInterruptHandler,
     EarlyStopping,
+    ResumeCheckpoint,
     load_checkpoint,
 )
 
@@ -181,6 +182,10 @@ class TrainProfile:
         # set to a directory to capture a jax.profiler trace of each stage's
         # second epoch (first epoch is compile-dominated)
         self.profile_dir: str | None = None
+        # mid-stage resume: pick up a killed stage from its last resume
+        # checkpoint (full TrainState + epoch + history + early-stop state)
+        self.resume: bool = True
+        self.resume_every: int = 1  # epochs between resume checkpoints
 
     # ------------------------------------------------------------------
 
@@ -302,14 +307,38 @@ class TrainProfile:
 
         early = EarlyStopping(cfg.patience, self._log.info)
         ckpt = BestCheckpoint(stage_dir, self._log.info)
+        resume_ckpt = ResumeCheckpoint(stage_dir, self.resume_every, self._log.info)
         interrupt = CtrlCInterruptHandler(self._log.info)
         interrupt.install()
 
         rng = jax.random.key(cfg.random_seed)
         history: dict[str, list] = defaultdict(list)
+        start_epoch = 0
+
+        if self.resume and ResumeCheckpoint.exists(stage_dir):
+            state, meta = ResumeCheckpoint.load(stage_dir, state)
+            start_epoch = meta["next_epoch"]
+            history = defaultdict(list, {k: list(v) for k, v in meta["history"].items()})
+            early.best = meta["early"]["best"]
+            early.best_epoch = meta["early"]["best_epoch"]
+            early.wait = meta["early"]["wait"]
+            ckpt.best = early.best
+            try:  # the restore-best-at-end contract needs the best weights
+                payload = load_checkpoint(stage_dir)
+                early.best_state = state.replace(
+                    params=payload["params"], batch_stats=payload["batch_stats"]
+                )
+            except Exception:
+                pass
+            if mesh is not None:
+                state = jax.device_put(state, replicated_sharding(mesh))
+            self._log.info(
+                f"Resuming stage '{stage.name}' from epoch {start_epoch + 1} "
+                f"(best {early.best:.6f} @ epoch {early.best_epoch + 1})"
+            )
 
         try:
-            for epoch in range(cfg.epochs):
+            for epoch in range(start_epoch, cfg.epochs):
                 profiling = self.profile_dir is not None and epoch == 1
                 if profiling:
                     jax.profiler.start_trace(
@@ -318,7 +347,7 @@ class TrainProfile:
                 t0 = time.perf_counter()
                 batch_logs = []
                 for x, targets in train_loader.batches(
-                    num_steps=steps_per_epoch, device=batch_device
+                    num_steps=steps_per_epoch, device=batch_device, epoch=epoch
                 ):
                     state, logs = train_step(state, x, targets, rng)
                     batch_logs.append(logs)
@@ -329,7 +358,9 @@ class TrainProfile:
 
                 val_logs = []
                 for i, (x, targets) in enumerate(
-                    val_loader.batches(num_steps=validation_steps, device=batch_device)
+                    val_loader.batches(
+                        num_steps=validation_steps, device=batch_device, epoch=epoch
+                    )
                 ):
                     # fresh jitter noise per validation batch/epoch
                     batch_rng = jax.random.fold_in(rng, epoch * validation_steps + i)
@@ -356,7 +387,9 @@ class TrainProfile:
                     hook(stage.name, epoch, epoch_metrics)
 
                 ckpt.update(epoch, monitor_value, state)
-                if early.update(epoch, monitor_value, state):
+                stop = early.update(epoch, monitor_value, state)
+                resume_ckpt.save(epoch, state, history, early)
+                if stop:
                     break
                 if interrupt.stop_requested:
                     self._log.info("User stop received.")
@@ -373,6 +406,10 @@ class TrainProfile:
         history = dict(history)
         with open(f"{stage_dir}{cfg.name}_{stage.name}_history.json", "w") as f:
             json.dump(history, f)
+
+        # the stage finished (early-stop, epoch budget, or user stop) — a
+        # later rerun should start fresh, not resume stale state
+        resume_ckpt.clear()
 
         # config copy for provenance (pointnet_train.py:251)
         if self._config_file and os.path.isfile(self._config_file):
