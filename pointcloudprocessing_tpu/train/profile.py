@@ -211,6 +211,14 @@ class TrainProfile:
         """Model + TrainState for a stage, loading pretrained weights when
         chaining (pointnet_train.py:276-332)."""
         cfg = self.config
+        import jax.numpy as jnp
+
+        if cfg.compute_dtype in ("bfloat16", "bf16"):
+            compute_dtype = jnp.bfloat16
+        elif cfg.compute_dtype in ("", "float32", "f32"):
+            compute_dtype = None
+        else:
+            raise ValueError(f"Unknown compute_dtype {cfg.compute_dtype!r}")
         model = PointNet(
             num_classes=cfg.num_classes,
             num_parts=cfg.num_parts,
@@ -218,6 +226,7 @@ class TrainProfile:
             vanilla=cfg.vanilla,
             regularize_input_transform=cfg.regularize_input_transform,
             regularize_feature_transform=cfg.regularize_feature_transform,
+            dtype=compute_dtype,
         )
         freeze = freeze_flags_from_trainable(stage.trainable)
 
@@ -427,6 +436,20 @@ class TrainProfile:
             )
         except Exception as e:  # export must never kill a finished run
             self._log.info(f"StableHLO export skipped: {type(e).__name__}: {e}")
+        try:
+            from pointcloudprocessing_tpu.export.onnx_bridge import export_onnx
+
+            # opset-13 ONNX like the reference (pointnet_train.py:237-248);
+            # advisory-only when the optional toolchain is absent
+            export_onnx(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                cfg.input_width,
+                f"{stage_dir}{cfg.name}_{stage.name}.onnx",
+                print_func=self._log.info,
+            )
+        except Exception as e:
+            self._log.info(f"ONNX export skipped: {type(e).__name__}: {e}")
 
         return history
 

@@ -53,3 +53,15 @@ def test_configs_are_hashable_for_jit():
     cfg = load_config("configs/kc46_lidar_config.json")
     hash(cfg.stages[0].trainable)
     hash(cfg.learning)
+
+
+def test_compute_dtype_extension():
+    """compute_dtype is an optional extension: absent = f32 (reference
+    behavior); 'bfloat16' selects the MXU-native training trunk."""
+    import json
+    from pointcloudprocessing_tpu.core.config import parse_config
+
+    base = json.load(open("configs/kc46_lidar_config.json"))
+    assert parse_config(base).compute_dtype == ""
+    base["params"]["compute_dtype"] = "bfloat16"
+    assert parse_config(base).compute_dtype == "bfloat16"

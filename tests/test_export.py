@@ -62,3 +62,31 @@ def test_tf_savedmodel_roundtrip(model_and_vars, tmp_path):
     # symbolic batch: different batch size works
     cls2, _, _ = loaded.f(tf.constant(pts[:1]))
     assert cls2.shape == (1, C)
+
+
+def test_onnx_bridge_gating(capsys):
+    """Without the optional ONNX toolchain the bridge must degrade with a
+    clear advisory and return False (never raise)."""
+    from pointcloudprocessing_tpu.export.onnx_bridge import (
+        GATING_MESSAGE,
+        export_onnx,
+        onnx_available,
+        verify_onnx,
+    )
+    from pointcloudprocessing_tpu.models import PointNet
+
+    if onnx_available():
+        import pytest
+
+        pytest.skip("onnx toolchain installed; gating not exercisable")
+
+    model = PointNet(num_classes=3, num_parts=2, vanilla=True)
+    import jax
+    import numpy as np
+
+    variables = model.init(jax.random.key(0), np.zeros((1, 8, 3), np.float32), train=False)
+    messages = []
+    ok = export_onnx(model, variables, 8, "/tmp/never_written.onnx", print_func=messages.append)
+    assert ok is False
+    assert messages == [GATING_MESSAGE]
+    assert verify_onnx("/tmp/never_written.onnx", np.zeros((1, 8, 3)), print_func=messages.append) is None

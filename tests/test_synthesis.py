@@ -135,3 +135,44 @@ def test_meshsampler_no_mesh(capsys):
     obs, labels, pos, dcms = sampler.create_viewpoint_observations(2, 100, 64)
     assert obs.size == 0
     assert "No mesh loaded" in capsys.readouterr().out
+
+
+def test_load_off_parses_and_samples(tmp_path):
+    """OFF loader (ModelNet's format): header variants, quads, sampling."""
+    from pointcloudprocessing_tpu.synthesis.mesh import load_off, sample_points_uniformly
+    import numpy as np
+
+    # standard header
+    off = "OFF\n4 2 0\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n3 0 1 2\n3 0 2 3\n"
+    p1 = tmp_path / "a.off"
+    p1.write_text(off)
+    mesh = load_off(str(p1))
+    assert mesh.vertices.shape == (4, 3)
+    assert mesh.triangles.shape == (2, 3)
+
+    # ModelNet quirk: counts glued to the magic + a quad face
+    off2 = "OFF 4 1 0\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n"
+    p2 = tmp_path / "b.off"
+    p2.write_text(off2)
+    mesh2 = load_off(str(p2))
+    assert mesh2.triangles.shape == (2, 3)  # quad fan-triangulated
+
+    pts = sample_points_uniformly(mesh2, 64, np.random.default_rng(0))
+    assert pts.shape == (64, 3)
+    assert (pts[:, 2] == 0).all()  # unit square in z=0
+
+
+def test_modelnet_example_fallback(tmp_path, monkeypatch):
+    """The public-dataset walkthrough runs end to end on the procedural
+    fallback and learns above chance."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import modelnet_example
+
+    monkeypatch.setitem(modelnet_example.CLOUDS_PER_CLASS, "train", 16)
+    monkeypatch.setitem(modelnet_example.CLOUDS_PER_CLASS, "test", 4)
+    monkeypatch.setattr(modelnet_example, "NUM_POINTS", 128)
+    # eval-mode accuracy needs the momentum-0.99 BN running stats to settle
+    # (~100-step time constant; ~480 steps here), hence the epoch count
+    acc = modelnet_example.main(None, epochs=120)
+    assert acc > 0.5  # 4 classes -> chance 0.25
