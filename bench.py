@@ -31,7 +31,7 @@ from pointcloudprocessing_tpu.core.config import LearningConfig
 from pointcloudprocessing_tpu.models import PointNet, FreezeFlags
 from pointcloudprocessing_tpu.ops import (
     estimate_normals_batch,
-    farthest_point_sample_batch,
+    farthest_point_sample_and_gather,
     voxel_downsample_batch,
 )
 from pointcloudprocessing_tpu.train import steps as steps_lib
@@ -201,8 +201,7 @@ def bench_e2e_pipeline(batch: int = 256, width_in: int = 2048, width_out: int = 
     @jax.jit
     def step(x):
         vox, mask = voxel_downsample_batch(x, 0.4)
-        idx = farthest_point_sample_batch(vox, width_out, mask)
-        sampled = jnp.take_along_axis(vox, idx[..., None].repeat(3, -1), axis=1)
+        _, sampled = farthest_point_sample_and_gather(vox, width_out, mask)
         out = model.apply(variables, sampled, train=False)
         return _tie(out, x)
 

@@ -8,6 +8,7 @@ from pointcloudprocessing_tpu.ops.augment import jitter
 from pointcloudprocessing_tpu.ops.voxel import voxel_downsample, voxel_downsample_batch
 from pointcloudprocessing_tpu.ops.fps import (
     farthest_point_sample,
+    farthest_point_sample_and_gather,
     farthest_point_sample_batch,
 )
 from pointcloudprocessing_tpu.ops.knn import knn, knn_batch, group_points
@@ -27,6 +28,7 @@ __all__ = [
     "voxel_downsample",
     "voxel_downsample_batch",
     "farthest_point_sample",
+    "farthest_point_sample_and_gather",
     "farthest_point_sample_batch",
     "knn",
     "knn_batch",

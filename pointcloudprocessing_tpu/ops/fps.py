@@ -112,6 +112,32 @@ def farthest_point_sample_batch(
     return selected
 
 
+def farthest_point_sample_and_gather(
+    points: jnp.ndarray,
+    num_samples: int,
+    valid_mask: jnp.ndarray | None = None,
+    start_index: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FPS returning (indices (b, k), sampled points (b, k, 3)).
+
+    On TPU the Pallas kernel emits the selected coordinates directly (it
+    extracts them every iteration anyway); a post-hoc ``take_along_axis``
+    row gather costs ~10 ms/batch at 256x2048 — more than the sampling
+    itself. Other backends fall back to indices + gather.
+    """
+    b, n = points.shape[:2]
+    if valid_mask is None:
+        valid_mask = jnp.ones((b, n), bool)
+    if jax.default_backend() in ("tpu", "axon") and n <= 16384:
+        from pointcloudprocessing_tpu.ops.pallas.fps import fps_pallas_with_points
+
+        start = _seed_indices(valid_mask, start_index)
+        return fps_pallas_with_points(points, num_samples, valid_mask, start)
+    idx = farthest_point_sample_batch(points, num_samples, valid_mask, start_index)
+    sampled = jnp.take_along_axis(points, idx[..., None], axis=1)
+    return idx, sampled
+
+
 def farthest_point_sample(
     points: jnp.ndarray,
     num_samples: int,

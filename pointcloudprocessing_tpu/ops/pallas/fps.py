@@ -7,14 +7,22 @@ distance-matrix row gather, and the argmax all stream (B, N) arrays from HBM
 ~K times. This kernel keeps the whole working set — coordinate planes,
 validity, and the min-distance buffer — resident in VMEM for a block of
 clouds and runs all K selection steps on the VPU without touching HBM
-(traffic is O(B*N) once, plus the (B, K) index output).
+(traffic is O(B*N) once, plus the outputs).
 
-Measured v5e, 256x2048 -> 1024: ~6 ms/batch vs 17-26 ms for the XLA
-distance-matrix forms.
+It also emits the SELECTED COORDINATES alongside the indices: the loop
+extracts each selection's (x, y, z) anyway, and a post-hoc
+``take_along_axis`` row gather costs ~10 ms/batch on TPU — more than the
+whole kernel.
+
+Measured v5e, 256x2048 -> 1024: ~5-6 ms/batch vs 17-26 ms for the XLA
+distance-matrix forms (both excluding the gather the fused output makes
+unnecessary).
 
 Layout: coordinates arrive as three (B, N) planes so the point axis lies on
-vector lanes; a block processes TB clouds on sublanes. The per-step argmax
-and the one-hot coordinate extraction are lane reductions.
+vector lanes; a block processes TB clouds on sublanes. Outputs are
+(K, B)-shaped: the per-step store indexes the SUBLANE dimension dynamically
+(Mosaic requires lane-dim store offsets be 128-aligned; sublane offsets may
+be dynamic).
 """
 
 from __future__ import annotations
@@ -31,10 +39,10 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _fps_kernel(start_ref, xs_ref, ys_ref, zs_ref, valid_ref, out_ref, *, num_samples):
-    # out_ref is (num_samples, TB): the per-step store indexes the SUBLANE
-    # dimension dynamically — Mosaic requires lane-dim store offsets to be
-    # 128-aligned, sublane offsets may be dynamic.
+def _fps_kernel(
+    start_ref, xs_ref, ys_ref, zs_ref, valid_ref,
+    out_ref, ox_ref, oy_ref, oz_ref, *, num_samples,
+):
     xs = xs_ref[...]  # (TB, N)
     ys = ys_ref[...]
     zs = zs_ref[...]
@@ -44,8 +52,7 @@ def _fps_kernel(start_ref, xs_ref, ys_ref, zs_ref, valid_ref, out_ref, *, num_sa
     neg = jnp.float32(-jnp.inf)
 
     start = start_ref[...]  # (TB, 1) int32
-    start_row = jnp.swapaxes(start, 0, 1)  # (1, TB)
-    out_ref[pl.ds(0, 1), :] = start_row
+    out_ref[pl.ds(0, 1), :] = jnp.swapaxes(start, 0, 1)
 
     def coords_at(idx):
         onehot = lanes == idx  # (TB, N)
@@ -54,12 +61,16 @@ def _fps_kernel(start_ref, xs_ref, ys_ref, zs_ref, valid_ref, out_ref, *, num_sa
         cz = jnp.sum(jnp.where(onehot, zs, 0.0), axis=1, keepdims=True)
         return cx, cy, cz
 
+    def write_coords(i, cx, cy, cz):
+        ox_ref[pl.ds(i, 1), :] = jnp.swapaxes(cx, 0, 1)
+        oy_ref[pl.ds(i, 1), :] = jnp.swapaxes(cy, 0, 1)
+        oz_ref[pl.ds(i, 1), :] = jnp.swapaxes(cz, 0, 1)
+
     def body(i, carry):
-        min_dist, cur = carry  # cur: (TB, 1)
+        min_dist, cur = carry  # cur: (TB, 1) = selection i-1
         cx, cy, cz = coords_at(cur)
-        d = (
-            jnp.square(xs - cx) + jnp.square(ys - cy) + jnp.square(zs - cz)
-        )
+        write_coords(i - 1, cx, cy, cz)
+        d = jnp.square(xs - cx) + jnp.square(ys - cy) + jnp.square(zs - cz)
         min_dist = jnp.minimum(min_dist, d)
         scored = jnp.where(valid, min_dist, neg)
         nxt = jnp.argmax(scored, axis=1).astype(jnp.int32)  # (TB,)
@@ -68,7 +79,11 @@ def _fps_kernel(start_ref, xs_ref, ys_ref, zs_ref, valid_ref, out_ref, *, num_sa
 
     min_dist0 = jnp.full((tb, n), jnp.inf, jnp.float32)
     if num_samples > 1:
-        jax.lax.fori_loop(1, num_samples, body, (min_dist0, start))
+        _, last = jax.lax.fori_loop(1, num_samples, body, (min_dist0, start))
+    else:
+        last = start
+    cx, cy, cz = coords_at(last)
+    write_coords(num_samples - 1, cx, cy, cz)
 
 
 _VMEM_BUDGET_BYTES = 32 * 1024 * 1024
@@ -77,9 +92,9 @@ _VMEM_BUDGET_BYTES = 32 * 1024 * 1024
 def _cloud_block(b: int, n: int, num_samples: int) -> int:
     """Pick the per-program cloud count. Mosaic block rule: a block's lane
     dimension must be a multiple of 128 or span the whole array — the
-    (num_samples, b) output puts clouds on lanes, so the block is either the
+    (num_samples, b) outputs put clouds on lanes, so the block is either the
     full batch or a 128-multiple slice of it."""
-    per_cloud = (5 * n + num_samples) * 4  # xs/ys/zs/valid/min_dist + out
+    per_cloud = (5 * n + 4 * num_samples) * 4  # planes+valid+min_dist + outs
     if b * per_cloud <= _VMEM_BUDGET_BYTES:
         return b
     for tb in (512, 384, 256, 128):
@@ -92,15 +107,15 @@ def _cloud_block(b: int, n: int, num_samples: int) -> int:
     )
 
 
-def fps_pallas(
+def fps_pallas_with_points(
     points: jnp.ndarray,
     num_samples: int,
     valid_mask: jnp.ndarray,
     start: jnp.ndarray,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """FPS over a batch: points (b, n, 3), valid (b, n) bool, start (b,) int32
-    -> (b, num_samples) int32 indices. Caller guarantees semantics of
-    ``start`` (seed per cloud, valid)."""
+    -> (indices (b, num_samples) int32, sampled (b, num_samples, 3) f32).
+    Caller guarantees semantics of ``start`` (seed per cloud, valid)."""
     b, n = points.shape[:2]
     tb = _cloud_block(b, n, num_samples)
 
@@ -110,7 +125,10 @@ def fps_pallas(
     start2d = start.astype(jnp.int32)[:, None]  # (b, 1)
 
     kernel = functools.partial(_fps_kernel, num_samples=num_samples)
-    out = pl.pallas_call(
+    kb_spec = pl.BlockSpec(
+        (num_samples, tb), lambda ib: (0, ib), memory_space=pltpu.VMEM
+    )
+    idx, ox, oy, oz = pl.pallas_call(
         kernel,
         grid=(b // tb,),
         in_specs=[
@@ -120,10 +138,25 @@ def fps_pallas(
             pl.BlockSpec((tb, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, n), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (num_samples, tb), lambda ib: (0, ib), memory_space=pltpu.VMEM
+        out_specs=(kb_spec, kb_spec, kb_spec, kb_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_samples, b), jnp.int32),
+            jax.ShapeDtypeStruct((num_samples, b), jnp.float32),
+            jax.ShapeDtypeStruct((num_samples, b), jnp.float32),
+            jax.ShapeDtypeStruct((num_samples, b), jnp.float32),
         ),
-        out_shape=jax.ShapeDtypeStruct((num_samples, b), jnp.int32),
         interpret=_interpret(),
     )(start2d, xs, ys, zs, validf)
-    return out.T
+    sampled = jnp.stack([ox.T, oy.T, oz.T], axis=-1)
+    return idx.T, sampled
+
+
+def fps_pallas(
+    points: jnp.ndarray,
+    num_samples: int,
+    valid_mask: jnp.ndarray,
+    start: jnp.ndarray,
+) -> jnp.ndarray:
+    """Index-only variant of :func:`fps_pallas_with_points`."""
+    idx, _ = fps_pallas_with_points(points, num_samples, valid_mask, start)
+    return idx

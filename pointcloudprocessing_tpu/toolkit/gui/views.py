@@ -44,7 +44,17 @@ from PyQt6.QtWidgets import (  # noqa: E402
 )
 from PyQt6.QtCore import Qt  # noqa: E402
 
-from pointcloudprocessing_tpu.toolkit.optitrack import OptiTrack
+from pointcloudprocessing_tpu.toolkit.conversion import (
+    convert_all_frames,
+    frame_color,
+    frame_xyz,
+    write_frame,
+)
+from pointcloudprocessing_tpu.toolkit.optitrack import (
+    OptiTrack,
+    body_time_series,
+    compute_sync_offsets,
+)
 from pointcloudprocessing_tpu.toolkit.plotting import PointCloudPlot, LinePlot, LineCanvas
 from pointcloudprocessing_tpu.toolkit.provizio import Provizio
 from pointcloudprocessing_tpu.toolkit.radar_truth import (
@@ -57,7 +67,6 @@ from pointcloudprocessing_tpu.toolkit.reflector_analysis import (
     reflector_pose,
     trace_reflections,
 )
-from pointcloudprocessing_tpu.toolkit.tqdm_capture import TQDMCapture
 from pointcloudprocessing_tpu.toolkit.training_history import (
     load_training_history,
     split_axes,
@@ -183,21 +192,15 @@ class RadarCalibrationView(_ViewBase):
     # -- frame display + filtering ----------------------------------------
 
     def show_frame(self, key) -> None:
-        from numpy.lib.recfunctions import structured_to_unstructured
-
         frame = self.loaded_frames[key]
         if frame["sequence"] != self.current_frame:
             self.pc_plot.clear_red_points()
             self.pc_plot.clear_filter()
             self.current_frame = frame["sequence"]
         self.pc_plot.clear()
-        xyz = structured_to_unstructured(
-            frame["data"][["x", "y", "z"]], dtype=np.float32
-        )
-        color_field = frame["fields"][0]
         self.pc_plot.add(
-            xyz,
-            np.array(frame["data"][color_field], dtype=np.float32),
+            frame_xyz(frame),
+            frame_color(frame),
             f"{frame['name']}_{frame['sequence']}",
         )
         if self.truth_data:
@@ -300,41 +303,26 @@ class RadarConversionView(_ViewBase):
     def select_output_dir(self) -> None:
         self.output_dir = QFileDialog.getExistingDirectory(self, "Output directory")
 
-    def _frame_xyz(self, frame) -> np.ndarray:
-        from numpy.lib.recfunctions import structured_to_unstructured
-
-        return structured_to_unstructured(frame["data"][["x", "y", "z"]], np.float32)
-
     def convert(self) -> None:
         """Export one frame + append its metadata to index.txt (reference
         gui/RadarConversion.py:196-219)."""
         if self.selected_frame is None or not self.output_dir:
             self._notify("Select a frame and an output directory first.")
             return
-        frame = self.loaded_frames[self.selected_frame]
-        self._write_frame(frame, 0)
+        write_frame(
+            self._vizio, self.loaded_frames[self.selected_frame], self.output_dir, 0
+        )
         self._notify("Frame converted.")
-
-    def _write_frame(self, frame, index: int) -> None:
-        path = os.path.join(self.output_dir, f"frame_{index}.txt")
-        self._vizio.to_aftr_frame(path, self._frame_xyz(frame))
-        with open(os.path.join(self.output_dir, "index.txt"), "a") as f:
-            f.write(f"frame_{index}.txt {frame['log_time'].isoformat()}\n")
 
     def convert_all(self) -> None:
         """Batch export with tqdm-driven progress (reference :221-230)."""
         if not self.output_dir:
             self._notify("Select an output directory first.")
             return
-        from tqdm import tqdm
-
-        capture = TQDMCapture()
-        for i, key in enumerate(tqdm(list(self.loaded_frames), file=capture)):
-            self._write_frame(self.loaded_frames[key], i)
-            pct = capture.get_percent()
-            if pct is not None:
-                self.progress.setValue(pct)
-        self.progress.setValue(100)
+        convert_all_frames(
+            self._vizio, self.loaded_frames, self.output_dir,
+            progress_func=self.progress.setValue,
+        )
 
 
 class OptiTrackCalibrationView(_ViewBase):
@@ -372,12 +360,7 @@ class OptiTrackCalibrationView(_ViewBase):
         from pointcloudprocessing_tpu.toolkit import mat_ops
 
         plot = LinePlot("OptiTrack", self._notify)
-        bodies: dict[str, list] = {}
-        for ts, items in self.data.items():
-            for name, pose in items.items():
-                bodies.setdefault(name, []).append(pose)
-        for name, poses in bodies.items():
-            arr = np.array(poses)
+        for name, arr in body_time_series(self.data).items():
             plot.add(f"{name}_x", arr[:, 0, 3])
             plot.add(f"{name}_y", arr[:, 1, 3])
             plot.add(f"{name}_z", arr[:, 2, 3])
@@ -392,31 +375,10 @@ class OptiTrackCalibrationView(_ViewBase):
     def sync(self) -> None:
         """Mean/variance offset between two tracked bodies (reference
         :320-356 — with its yaw/roll accumulation swap fixed)."""
-        from pointcloudprocessing_tpu.toolkit import mat_ops
-
-        a_name = self.body_a.text()
-        b_name = self.body_b.text()
-        offsets = {"x": [], "y": [], "z": [], "roll": [], "pitch": [], "yaw": []}
-        for ts, items in self.data.items():
-            if a_name not in items or b_name not in items:
-                continue
-            a, b = items[a_name], items[b_name]
-            delta_t = a[:3, :3].T @ (b[:3, 3] - a[:3, 3])
-            rel = a[:3, :3].T @ b[:3, :3]
-            rpy = mat_ops.get_roll_pitch_yaw_deg(rel)
-            offsets["x"].append(delta_t[0])
-            offsets["y"].append(delta_t[1])
-            offsets["z"].append(delta_t[2])
-            offsets["roll"].append(float(rpy["roll"]))
-            offsets["pitch"].append(float(rpy["pitch"]))
-            offsets["yaw"].append(float(rpy["yaw"]))
-        if not offsets["x"]:
+        summary = compute_sync_offsets(self.data, self.body_a.text(), self.body_b.text())
+        if summary is None:
             self._notify("No overlapping samples for the selected bodies.")
             return
-        summary = {
-            k: {"mean": float(np.mean(v)), "var": float(np.var(v))}
-            for k, v in offsets.items()
-        }
         self.sync_offsets.append(summary)
         self._notify(f"Sync offsets:\n{summary}")
 

@@ -68,3 +68,45 @@ class OptiTrack:
                 f"OptiTrack:  Error occured while parsing file:\n\t{type(e)}: {e}"
             )
             return {}
+
+
+def body_time_series(data: dict) -> dict[str, np.ndarray]:
+    """Stack a parsed log into per-body (t, 4, 4) pose arrays — the headless
+    core of the OptiTrack time-series page (reference
+    gui/OptiTrackCalibration.py:143-189)."""
+    bodies: dict[str, list] = {}
+    for _, items in data.items():
+        for name, pose in items.items():
+            bodies.setdefault(name, []).append(pose)
+    return {name: np.array(poses) for name, poses in bodies.items()}
+
+
+def compute_sync_offsets(data: dict, a_name: str, b_name: str) -> dict | None:
+    """Mean/variance of body B's pose expressed in body A's frame across all
+    timestamps where both are tracked (reference gui/OptiTrackCalibration.py
+    :320-356 'sync' — with its yaw/roll accumulation swap fixed). Returns
+    {axis: {mean, var}} for x/y/z/roll/pitch/yaw, or None without overlap."""
+    from pointcloudprocessing_tpu.toolkit import mat_ops
+
+    offsets: dict[str, list] = {
+        "x": [], "y": [], "z": [], "roll": [], "pitch": [], "yaw": []
+    }
+    for _, items in data.items():
+        if a_name not in items or b_name not in items:
+            continue
+        a, b = items[a_name], items[b_name]
+        delta_t = a[:3, :3].T @ (b[:3, 3] - a[:3, 3])
+        rel = a[:3, :3].T @ b[:3, :3]
+        rpy = mat_ops.get_roll_pitch_yaw_deg(rel)
+        offsets["x"].append(delta_t[0])
+        offsets["y"].append(delta_t[1])
+        offsets["z"].append(delta_t[2])
+        offsets["roll"].append(float(rpy["roll"]))
+        offsets["pitch"].append(float(rpy["pitch"]))
+        offsets["yaw"].append(float(rpy["yaw"]))
+    if not offsets["x"]:
+        return None
+    return {
+        k: {"mean": float(np.mean(v)), "var": float(np.var(v))}
+        for k, v in offsets.items()
+    }

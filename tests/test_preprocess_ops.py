@@ -237,3 +237,40 @@ def test_hpr_sphere_front_visible(rng):
     # most clearly-front points visible, most clearly-back points hidden
     assert vis_mask[front].mean() > 0.9
     assert vis_mask[back].mean() < 0.01  # no back-face leakage
+
+
+def test_segment_reduce_pallas_matches_einsum(rng):
+    """The Pallas segment reduce (interpret mode on CPU) must match the
+    XLA one-hot einsum (same products; accumulation order may differ by a
+    few ulp)."""
+    from pointcloudprocessing_tpu.ops.pallas.voxel_reduce import segment_reduce_pallas
+
+    b, n, d = 3, 64, 4
+    data = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    rank = jnp.asarray(rng.integers(0, n, (b, n)).astype(np.int32))
+    got = np.asarray(segment_reduce_pallas(data, rank, k_tile=16))
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 2) == rank[..., None])
+    want = np.asarray(jnp.einsum("bnk,bnd->bkd", onehot.astype(jnp.float32), data))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_fps_and_gather_matches_indexing(rng):
+    """The fused sample+gather output must equal indexing points by the
+    returned indices (both the Pallas kernel and the fallback path)."""
+    from pointcloudprocessing_tpu.ops.fps import farthest_point_sample_and_gather
+    from pointcloudprocessing_tpu.ops.pallas.fps import fps_pallas_with_points
+    from pointcloudprocessing_tpu.ops.fps import _seed_indices
+
+    pts = jnp.asarray(rng.normal(size=(4, 64, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(4, 64)) > 0.2)
+    mask = mask.at[:, 0].set(True)
+
+    idx, sampled = farthest_point_sample_and_gather(pts, 16, mask)
+    want = np.take_along_axis(np.asarray(pts), np.asarray(idx)[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(sampled), want)
+
+    # Pallas kernel directly (interpret mode on CPU)
+    start = _seed_indices(mask, 0)
+    idx2, sampled2 = fps_pallas_with_points(pts, 16, mask, start)
+    want2 = np.take_along_axis(np.asarray(pts), np.asarray(idx2)[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(sampled2), want2)

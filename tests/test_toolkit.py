@@ -290,3 +290,101 @@ def test_reference_history_files_load():
     hist = load_training_history(ref)
     assert "val_segmentation_output_sparse_categorical_accuracy" in hist
     assert max(hist["val_segmentation_output_sparse_categorical_accuracy"]) > 0.97
+
+
+# -- headless conversion workflow (reference gui/RadarConversion.py) ---------
+
+def _fake_frame(n=5, seq=0):
+    from datetime import datetime, timezone
+
+    data = np.zeros(n, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                              ("intensity", "<f4")])
+    data["x"] = np.arange(n)
+    data["y"] = np.arange(n) * 2
+    data["z"] = np.arange(n) * 3
+    data["intensity"] = np.arange(n) * 0.5
+    return {
+        "name": "radar", "sequence": seq,
+        "log_time": datetime(2026, 1, 1, tzinfo=timezone.utc),
+        "fields": ["intensity", "x", "y", "z"],
+        "data": data,
+    }
+
+
+def test_frame_xyz_and_color():
+    from pointcloudprocessing_tpu.toolkit.conversion import frame_color, frame_xyz
+
+    frame = _fake_frame(4)
+    xyz = frame_xyz(frame)
+    assert xyz.shape == (4, 3) and xyz.dtype == np.float32
+    np.testing.assert_allclose(xyz[:, 1], [0, 2, 4, 6])
+    np.testing.assert_allclose(frame_color(frame), [0, 0.5, 1.0, 1.5])
+
+
+def test_convert_all_frames(tmp_path):
+    from pointcloudprocessing_tpu.toolkit.conversion import convert_all_frames
+    from pointcloudprocessing_tpu.toolkit.provizio import Provizio
+
+    frames = {i: _fake_frame(3, seq=i) for i in range(4)}
+    seen_pcts = []
+    count = convert_all_frames(
+        Provizio(), frames, str(tmp_path), progress_func=seen_pcts.append
+    )
+    assert count == 4
+    # one frame file per input + a single consistent index
+    assert sorted(p.name for p in tmp_path.iterdir()) == [
+        "frame_0.txt", "frame_1.txt", "frame_2.txt", "frame_3.txt", "index.txt",
+    ]
+    index_lines = (tmp_path / "index.txt").read_text().splitlines()
+    assert len(index_lines) == 4
+    assert index_lines[0].startswith("frame_0.txt 2026-01-01")
+    assert seen_pcts[-1] == 100
+
+
+# -- headless OptiTrack analysis (reference gui/OptiTrackCalibration.py) ----
+
+def _two_body_log():
+    from datetime import datetime, timezone
+
+    def pose(t, yaw_deg):
+        c, s = np.cos(np.deg2rad(yaw_deg)), np.sin(np.deg2rad(yaw_deg))
+        m = np.eye(4)
+        m[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        m[:3, 3] = t
+        return m
+
+    data = {}
+    for i in range(5):
+        ts = datetime(2026, 1, 1, 0, 0, i, tzinfo=timezone.utc)
+        data[ts] = {
+            "a": pose([0, 0, 0], 0.0),
+            "b": pose([1.0, 2.0, 3.0], 30.0),
+        }
+    return data
+
+
+def test_body_time_series():
+    from pointcloudprocessing_tpu.toolkit.optitrack import body_time_series
+
+    series = body_time_series(_two_body_log())
+    assert set(series) == {"a", "b"}
+    assert series["a"].shape == (5, 4, 4)
+    np.testing.assert_allclose(series["b"][:, 0, 3], 1.0)
+
+
+def test_compute_sync_offsets():
+    from pointcloudprocessing_tpu.toolkit.optitrack import compute_sync_offsets
+
+    summary = compute_sync_offsets(_two_body_log(), "a", "b")
+    assert summary is not None
+    np.testing.assert_allclose(
+        [summary["x"]["mean"], summary["y"]["mean"], summary["z"]["mean"]],
+        [1.0, 2.0, 3.0], atol=1e-9,
+    )
+    # constant offset -> zero variance; the z-rotation lands on the YAW axis
+    # (the reference accumulated it into roll —
+    # gui/OptiTrackCalibration.py:342-350); sign follows mat_ops' convention
+    assert abs(summary["yaw"]["mean"]) == pytest.approx(30.0)
+    assert summary["roll"]["mean"] == pytest.approx(0.0)
+    assert summary["x"]["var"] == 0.0
+    assert compute_sync_offsets(_two_body_log(), "a", "missing") is None
