@@ -8,7 +8,6 @@ from pointcloudprocessing_tpu.models.pointnet import (
     layer_trainability,
 )
 from pointcloudprocessing_tpu.models.classifier import PointNetClassifier, TNetRegressor
-from pointcloudprocessing_tpu.models.fast_infer import make_fast_inference, fold_pointnet
 from pointcloudprocessing_tpu.models.pipeline import PointCloudPipeline
 
 __all__ = [
@@ -22,7 +21,5 @@ __all__ = [
     "layer_trainability",
     "PointNetClassifier",
     "TNetRegressor",
-    "make_fast_inference",
-    "fold_pointnet",
     "PointCloudPipeline",
 ]

@@ -1,8 +1,7 @@
-from pointcloudprocessing_tpu.ops.pallas.chain import (
-    fused_chain_max,
-    fused_seg_head,
-    fold_bn,
+from pointcloudprocessing_tpu.ops.pallas.fps import (
+    fps_pallas,
+    fps_pallas_with_points,
 )
-from pointcloudprocessing_tpu.ops.pallas.fps import fps_pallas
+from pointcloudprocessing_tpu.ops.pallas.voxel_reduce import segment_reduce_pallas
 
-__all__ = ["fused_chain_max", "fused_seg_head", "fold_bn", "fps_pallas"]
+__all__ = ["fps_pallas", "fps_pallas_with_points", "segment_reduce_pallas"]
