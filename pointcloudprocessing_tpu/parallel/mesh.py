@@ -21,6 +21,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Join a multi-host (DCN) job before building meshes.
+
+    Single-host multi-chip needs nothing — ``jax.devices()`` already lists
+    every chip and collectives ride ICI. Across hosts, call this once at
+    program start (before any jax computation): it wraps
+    ``jax.distributed.initialize``, after which ``jax.devices()`` is global
+    and the same :func:`data_parallel_mesh` / ``shard_*`` code scales
+    unchanged — GSPMD routes intra-host collectives over ICI and inter-host
+    legs over DCN. On TPU pods the coordinator/process arguments are
+    auto-detected from the environment; pass them explicitly elsewhere.
+
+    Returns the global device count. See docs/SCALING.md for the full
+    recipe and the data-loading contract (each process feeds only its
+    addressable shard of the batch).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return len(jax.devices())
+
+
 def data_parallel_mesh(devices=None, points_axis: int = 1) -> Mesh:
     """1-D (or 2-D data x points) mesh over the given devices."""
     devices = list(devices if devices is not None else jax.devices())
