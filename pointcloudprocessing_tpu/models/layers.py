@@ -177,3 +177,73 @@ class DenseBlock(nn.Module):
                 name="bn",
             )(x)
         return apply_activation(x, self.activation)
+
+
+class _KernelOnly(nn.Module):
+    """Bias-free kernel holder named like nn.Dense (param 'kernel')."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.glorot_uniform(), (in_features, self.features)
+        )
+
+
+class _BNVars(nn.Module):
+    """BatchNorm parameter/stat holder named like nn.BatchNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        return scale, bias, mean, var
+
+
+class PooledPointwiseBlock(nn.Module):
+    """``PointwiseBlock(features, BN, relu)`` + global max over points, fused
+    through the custom-VJP op (models/fused_pool.py).
+
+    The (b, n, features) activation is the widest tensor in the network (the
+    1024-wide chains feeding the max-pools); the fused op's backward needs
+    only the argmax winners plus matmul-factored statistics terms, cutting
+    the training step's HBM traffic. Variable tree is identical to
+    ``PointwiseBlock`` + ``jnp.max`` (params conv/kernel, bn/{scale, bias};
+    batch_stats bn/{mean, var}) so checkpoints, weight transfer, and freeze
+    labels are unchanged.
+    """
+
+    features: int
+    bn_momentum: float = KERAS_BN_MOMENTUM
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool, frozen: bool = False) -> jnp.ndarray:
+        from pointcloudprocessing_tpu.models.fused_pool import dense_bn_relu_max
+
+        kernel = _KernelOnly(self.features, name="conv")(x.shape[-1])
+        scale, bias, mean_v, var_v = _BNVars(self.features, name="bn")()
+
+        use_running = (not train) or frozen
+        cfg = (use_running, self.bn_momentum, KERAS_BN_EPSILON, self.dtype)
+        pooled, batch_mean, batch_var = dense_bn_relu_max(
+            cfg, x, kernel, scale, bias, mean_v.value, var_v.value
+        )
+        if (
+            not use_running
+            and not self.is_initializing()
+            and self.is_mutable_collection("batch_stats")
+        ):
+            m = self.bn_momentum
+            mean_v.value = m * mean_v.value + (1.0 - m) * batch_mean
+            var_v.value = m * var_v.value + (1.0 - m) * batch_var
+        return pooled

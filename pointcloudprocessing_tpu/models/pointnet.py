@@ -32,6 +32,7 @@ from pointcloudprocessing_tpu.models.layers import (
     ConcatPointwiseBlock,
     DenseBlock,
     PointwiseBlock,
+    PooledPointwiseBlock,
 )
 from pointcloudprocessing_tpu.models.tnet import TNet
 from pointcloudprocessing_tpu.ops.normalize import normalize_unit_sphere
@@ -159,12 +160,12 @@ class PointNet(nn.Module):
         x = PointwiseBlock(128, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_2_2")(
             x, train=train, frozen=freeze.shared_network
         )
-        x = PointwiseBlock(1024, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_2_3")(
-            x, train=train, frozen=freeze.shared_network
-        )
-
-        # Symmetric function: global max pool over points (PointNet.py:248).
-        global_features = jnp.max(x, axis=-2)  # (b, 1024)
+        # Final trunk layer + symmetric max-pool (PointNet.py:248), fused
+        # with a custom VJP: the (b, n, 1024) activation is the widest tensor
+        # in the network and its backward otherwise dominates HBM traffic.
+        global_features = PooledPointwiseBlock(
+            1024, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_2_3"
+        )(x, train=train, frozen=freeze.shared_network)  # (b, 1024)
 
         # Classification head (PointNet.py:252-263).
         x_cls = DenseBlock(

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pointcloudprocessing_tpu.core.constants import KERAS_BN_MOMENTUM
-from pointcloudprocessing_tpu.models.layers import PointwiseBlock, DenseBlock
+from pointcloudprocessing_tpu.models.layers import (
+    DenseBlock,
+    PointwiseBlock,
+    PooledPointwiseBlock,
+)
 
 
 def _identity_kxk(key, shape, dtype=jnp.float32):
@@ -60,13 +64,20 @@ class TNet(nn.Module):
             widths[1], apply_bn=self.conv_apply_bn, bn_momentum=self.bn_momentum,
             activation=self.conv_activation, dtype=self.dtype, name="conv_layer_2",
         )(h, train=train, frozen=frozen)
-        h = PointwiseBlock(
-            widths[2], apply_bn=self.conv_apply_bn, bn_momentum=self.bn_momentum,
-            activation=self.conv_activation, dtype=self.dtype, name="conv_layer_3",
-        )(h, train=train, frozen=frozen)
-
-        # Symmetric (permutation-invariant) global feature. PointNet.py:429.
-        h = jnp.max(h, axis=-2)  # (b, 1024)
+        if self.conv_apply_bn and self.conv_activation == "relu":
+            # fused conv+BN+relu+max custom-VJP path: the (b, n, 1024)
+            # activation never backs gradients through HBM
+            h = PooledPointwiseBlock(
+                widths[2], bn_momentum=self.bn_momentum, dtype=self.dtype,
+                name="conv_layer_3",
+            )(h, train=train, frozen=frozen)
+        else:  # legacy TNet (no BN/activation, PointNetClassifier.py:283-285)
+            h = PointwiseBlock(
+                widths[2], apply_bn=self.conv_apply_bn, bn_momentum=self.bn_momentum,
+                activation=self.conv_activation, dtype=self.dtype, name="conv_layer_3",
+            )(h, train=train, frozen=frozen)
+            # Symmetric (permutation-invariant) global feature. PointNet.py:429.
+            h = jnp.max(h, axis=-2)  # (b, 1024)
 
         h = DenseBlock(
             widths[3], apply_bn=True, bn_momentum=self.bn_momentum,
