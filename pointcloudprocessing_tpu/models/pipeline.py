@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointcloudprocessing_tpu.models.pointnet import PointNet
-from pointcloudprocessing_tpu.ops.fps import farthest_point_sample_batch
+from pointcloudprocessing_tpu.ops.fps import farthest_point_sample_and_gather
 from pointcloudprocessing_tpu.ops.voxel import voxel_downsample_batch
 
 
@@ -55,9 +55,11 @@ class PointCloudPipeline:
             if voxel_size is not None:
                 points, mask = voxel_downsample_batch(points, voxel_size)
             if use_fps:
-                idx = farthest_point_sample_batch(points, model_width, mask)
-                sampled = jnp.take_along_axis(
-                    points, idx[..., None].repeat(3, -1), axis=1
+                # fused sample+gather: on TPU the Pallas FPS kernel emits the
+                # selected coordinates directly (a take_along_axis gather
+                # costs more than the sampling itself)
+                _, sampled = farthest_point_sample_and_gather(
+                    points, model_width, mask
                 )
             else:
                 sampled = points[:, :model_width]
