@@ -25,6 +25,16 @@ import jax.numpy as jnp
 _DEFAULT_DISTMAT_BYTES = 2 * 1024**3
 
 
+def _pallas_block_ok(b: int, n: int, num_samples: int) -> bool:
+    from pointcloudprocessing_tpu.ops.pallas.fps import _cloud_block
+
+    try:
+        _cloud_block(b, n, num_samples)
+        return True
+    except ValueError:
+        return False
+
+
 def _seed_indices(valid_mask: jnp.ndarray, start_index: int) -> jnp.ndarray:
     """Per-cloud seed: ``start_index`` if valid, else first valid point."""
     b = valid_mask.shape[0]
@@ -61,8 +71,13 @@ def farthest_point_sample_batch(
         valid_mask = jnp.ones((b, n), bool)
     if method == "auto":
         # on TPU the VMEM-resident Pallas kernel wins (~3x over distmat) as
-        # long as a block's working set fits VMEM comfortably
-        if jax.default_backend() in ("tpu", "axon") and n <= 16384:
+        # long as a valid cloud block exists (full batch in VMEM or a
+        # 128-multiple slice of it — Mosaic lane-blocking rule)
+        if (
+            jax.default_backend() in ("tpu", "axon")
+            and n <= 16384
+            and _pallas_block_ok(b, n, num_samples)
+        ):
             method = "pallas"
         else:
             method = "distmat" if b * n * n * 4 <= max_distmat_bytes else "stream"
@@ -128,7 +143,11 @@ def farthest_point_sample_and_gather(
     b, n = points.shape[:2]
     if valid_mask is None:
         valid_mask = jnp.ones((b, n), bool)
-    if jax.default_backend() in ("tpu", "axon") and n <= 16384:
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and n <= 16384
+        and _pallas_block_ok(b, n, num_samples)
+    ):
         from pointcloudprocessing_tpu.ops.pallas.fps import fps_pallas_with_points
 
         start = _seed_indices(valid_mask, start_index)

@@ -274,3 +274,16 @@ def test_fps_and_gather_matches_indexing(rng):
     idx2, sampled2 = fps_pallas_with_points(pts, 16, mask, start)
     want2 = np.take_along_axis(np.asarray(pts), np.asarray(idx2)[..., None], axis=1)
     np.testing.assert_array_equal(np.asarray(sampled2), want2)
+
+
+def test_fps_auto_handles_awkward_batch_sizes(rng):
+    """Batches with no valid Pallas cloud block (e.g. 1000 at large n under
+    the VMEM budget rules) must fall back to an XLA method, not raise."""
+    from pointcloudprocessing_tpu.ops.fps import _pallas_block_ok, farthest_point_sample_batch
+
+    assert not _pallas_block_ok(1000, 2048, 1024)
+    assert _pallas_block_ok(256, 2048, 1024)
+    # small case still runs end to end under auto
+    pts = jnp.asarray(rng.normal(size=(5, 48, 3)).astype(np.float32))
+    idx = farthest_point_sample_batch(pts, 8)
+    assert idx.shape == (5, 8)
