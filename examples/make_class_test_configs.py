@@ -47,9 +47,22 @@ def _datasets(n: int) -> dict:
 def build_config(word: str, n: int) -> dict:
     two_stage = n <= 4
     if word == "two":
-        # the 2-way sweep fine-tunes segmentation on top of a previously
-        # trained classification checkpoint
+        # the reference fine-tunes segmentation from a previously trained
+        # classification checkpoint via continue_training_model; here the
+        # classification stage is part of the config so the sweep is runnable
+        # from scratch (stage chaining supplies the same continuation)
         profiles = {
+            "two_class_classification": {
+                "datasets": _datasets(n),
+                "noise": NOISE,
+                "trainable": {
+                    "shared_network": True, "input_transform": False,
+                    "classification_head": True, "segmentation_head": False,
+                },
+                "loss_weights": {
+                    "classification": 1.0, "segmentation": 0.0, "rotation": 0.0,
+                },
+            },
             "two_class_segmentation": {
                 "datasets": _datasets(n),
                 "noise": NOISE,
@@ -60,12 +73,9 @@ def build_config(word: str, n: int) -> dict:
                 "loss_weights": {
                     "classification": 0.7, "segmentation": 0.3, "rotation": 0.0,
                 },
-            }
+            },
         }
-        continue_model = (
-            "_bertha_classification_test/two_class_classification/"
-            "_bertha_classification_test_two_class_classification.keras"
-        )
+        continue_model = ""
     elif word == "four":
         profiles = {
             "four_class_class": {

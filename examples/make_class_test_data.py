@@ -24,12 +24,9 @@ from pointcloudprocessing_tpu.synthesis import (
     write_collect,
 )
 
-# first n entries of the class map the configs use
-CLASS_NAMES = [
-    "a-10", "b-1b", "b-2", "c-5", "c-12", "c-17a", "c-32", "c-130j",
-    "e-3", "f-15e", "f-16", "f-18e", "f-22", "g-iii", "kc-46", "kc-135",
-    "lj-25", "mig-29", "mq-20", "su-27", "vc-25a", "x-47b",
-]
+# the single source of the aircraft label list (keeps the generated
+# collect_<class> directory names in sync with the configs' dataset names)
+from make_class_test_configs import CLASS_LABELS as CLASS_NAMES
 
 
 def synthesize_class_collects(

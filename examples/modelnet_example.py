@@ -40,11 +40,20 @@ def modelnet_meshes(root: str, split: str, per_class: int):
             yield class_name, load_off(path)
 
 
-def build_arrays(pairs, num_points: int, seed: int = 0):
-    """Sample one fixed-size cloud per mesh; returns (x, y, class names)."""
-    clouds, labels, names = [], [], {}
+def build_arrays(pairs, num_points: int, seed: int = 0, label_map: dict | None = None):
+    """Sample one fixed-size cloud per mesh; returns (x, y, class names).
+
+    ``label_map`` fixes the class-name -> label assignment (the TEST split
+    must reuse the TRAIN split's map, or a class missing from one split
+    silently shifts every later label)."""
+    clouds, labels = [], []
+    names = {} if label_map is None else dict(label_map)
+    frozen = label_map is not None
     for i, (class_name, mesh) in enumerate(pairs):
-        label = names.setdefault(class_name, len(names))
+        if frozen:
+            label = names[class_name]
+        else:
+            label = names.setdefault(class_name, len(names))
         # distinct sampling per mesh instance (repeated meshes in the
         # procedural fallback must still yield distinct clouds)
         sampler = MeshSampler(None, class_name, mesh=mesh, random_seed=seed + i)
@@ -55,7 +64,7 @@ def build_arrays(pairs, num_points: int, seed: int = 0):
         labels.append(label)
     x = np.asarray(clouds, np.float32)
     y = np.asarray(labels, np.int32)
-    return x, y, sorted(names, key=names.get)
+    return x, y, names
 
 
 def fallback_pairs(split: str):
@@ -84,8 +93,11 @@ def main(root: str | None, epochs: int = 20) -> float:
         train_pairs = fallback_pairs("train")
         test_pairs = fallback_pairs("test")
 
-    x_train, y_train, classes = build_arrays(train_pairs, NUM_POINTS, seed=0)
-    x_test, y_test, _ = build_arrays(test_pairs, NUM_POINTS, seed=1)
+    x_train, y_train, label_map = build_arrays(train_pairs, NUM_POINTS, seed=0)
+    x_test, y_test, _ = build_arrays(
+        test_pairs, NUM_POINTS, seed=1, label_map=label_map
+    )
+    classes = sorted(label_map, key=label_map.get)
     print(f"{len(classes)} classes, {len(y_train)} train / {len(y_test)} test clouds")
 
     model = PointNet(num_classes=len(classes), num_parts=1, vanilla=True)

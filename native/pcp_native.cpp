@@ -339,16 +339,18 @@ static int64_t read_tfrecords(
     if (next_offset_out) *next_offset_out = -1;
 
     while (true) {
+        long record_start = ftell(f);
+        size_t got = fread(header, 1, 12, f);
+        if (got == 0) break;  // clean EOF — a file of exactly max_records is fine
+        if (got < 12) { fclose(f); free(buf); return -3; }
         if (count >= max_records) {
+            // a further record exists beyond capacity
             if (stop_at_capacity) {
-                if (next_offset_out) *next_offset_out = (int64_t)ftell(f);
+                if (next_offset_out) *next_offset_out = (int64_t)record_start;
                 break;
             }
             fclose(f); free(buf); return -4;
         }
-        size_t got = fread(header, 1, 12, f);
-        if (got == 0) break;
-        if (got < 12) { fclose(f); free(buf); return -3; }
         uint64_t length;
         memcpy(&length, header, 8);
         uint32_t len_crc;

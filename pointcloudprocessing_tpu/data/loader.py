@@ -134,8 +134,13 @@ def _prefetch_to_device(host_batches, num_steps, device, prefetch: int = 2):
 
     def producer():
         produced = 0
-        for batch in host_batches:
-            if stop.is_set() or (num_steps is not None and produced >= num_steps):
+        it = iter(host_batches)
+        # check the budget BEFORE pulling: a persistent stream (StreamingLoader)
+        # must not have a batch consumed and discarded at the epoch boundary
+        while not stop.is_set() and (num_steps is None or produced < num_steps):
+            try:
+                batch = next(it)
+            except StopIteration:
                 break
             if device is not None:
                 batch = jax.device_put(batch, device)
@@ -202,6 +207,10 @@ class StreamingLoader:
         self._interleave = max(interleave, 1)
         self._chunk_records = max(min(chunk_records, self._window), 1)
         self._use_native = use_native
+        # ONE persistent repeat-stream across batches() calls (like tf.data's
+        # repeat()): restarting per epoch would abandon the records sitting in
+        # the shuffle buffer, silently skipping ~shuffle_window records/epoch
+        self._stream = None
 
     def __len__(self) -> int:
         return self._count
@@ -213,7 +222,11 @@ class StreamingLoader:
     # -- record streaming ---------------------------------------------------
 
     def _read_chunk(self, path: str, offset: int):
-        """((obs, cls, parts, se3), next_offset) starting at byte offset."""
+        """((obs, cls, parts, se3), next_offset) starting at byte offset.
+
+        ``offset``/``next_offset`` are BYTE positions in both the native and
+        Python paths, so chunked epochs cost one linear pass per file (a
+        record-skipping fallback would re-read O(records^2) per epoch)."""
         if self._use_native:
             from pointcloudprocessing_tpu.utils.native import (
                 read_tfrecord_chunk_native,
@@ -225,30 +238,38 @@ class StreamingLoader:
             if native is not None:
                 obs, cls, parts, se3 = native[:4]
                 return (obs, cls.astype(np.int32), parts.astype(np.int32), se3), native[4]
-        # Python fallback: skip `offset` records (offset counts records here)
+
+        import struct
+
         from pointcloudprocessing_tpu.data import tfrecord
 
         obs_l, cls_l, parts_l, se3_l = [], [], [], []
-        consumed = 0
-        for i, record in enumerate(tfrecord.read_tfrecord_file(path)):
-            if i < offset:
-                continue
-            ex = tfrecord.decode_example(record)
-            obs_l.append(ex["observations"].reshape(self._width, 3))
-            cls_l.append(np.int32(ex["class_label"][0]))
-            parts_l.append(ex["part_labels"].astype(np.int32))
-            se3_l.append(ex["se3"].reshape(3, 3))
-            consumed += 1
-            if consumed >= self._chunk_records:
-                return (
-                    (np.stack(obs_l), np.asarray(cls_l), np.stack(parts_l), np.stack(se3_l)),
-                    offset + consumed,
-                )
+        next_offset = -1
+        with open(path, "rb") as f:
+            f.seek(offset)
+            while len(cls_l) < self._chunk_records:
+                header = f.read(8)
+                if len(header) < 8:
+                    break  # clean EOF
+                (length,) = struct.unpack("<Q", header)
+                f.seek(4, 1)  # length CRC (decode_example rejects bad data)
+                record = f.read(length)
+                f.seek(4, 1)  # data CRC
+                ex = tfrecord.decode_example(record)
+                obs_l.append(ex["observations"].reshape(self._width, 3))
+                cls_l.append(np.int32(ex["class_label"][0]))
+                parts_l.append(ex["part_labels"].astype(np.int32))
+                se3_l.append(ex["se3"].reshape(3, 3))
+            else:
+                # capacity reached — resume here unless the file is exhausted
+                pos = f.tell()
+                if len(f.read(8)) == 8:
+                    next_offset = pos
         if not obs_l:
             return None, -1
         return (
             (np.stack(obs_l), np.asarray(cls_l), np.stack(parts_l), np.stack(se3_l)),
-            -1,
+            next_offset,
         )
 
     def _interleaved_chunks(self):
@@ -366,6 +387,6 @@ class StreamingLoader:
         del epoch
         if not self._files or self._count == 0:
             return
-        yield from _prefetch_to_device(
-            self._host_batches(), num_steps, device, prefetch
-        )
+        if self._stream is None:
+            self._stream = self._host_batches()
+        yield from _prefetch_to_device(self._stream, num_steps, device, prefetch)

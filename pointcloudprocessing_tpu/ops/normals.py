@@ -117,17 +117,20 @@ def estimate_normals(
     idx = jnp.where(jnp.isfinite(d2), idx, own)
     neighbors = points[idx]  # (n, k, 3)
 
-    # covariance in scalar components (lane-efficient; see module docstring)
+    # covariance in scalar components (lane-efficient; see module docstring).
+    # CENTERED two-pass form: the E[x^2]-E[x]^2 shortcut catastrophically
+    # cancels in f32 for clouds far from the origin (coords^2 ~1e4 swamps
+    # mm-scale covariances at 100 m range)
     nx, ny, nz = neighbors[..., 0], neighbors[..., 1], neighbors[..., 2]
-    mx = jnp.mean(nx, axis=-1)
-    my = jnp.mean(ny, axis=-1)
-    mz = jnp.mean(nz, axis=-1)
-    cxx = jnp.mean(nx * nx, axis=-1) - mx * mx
-    cxy = jnp.mean(nx * ny, axis=-1) - mx * my
-    cxz = jnp.mean(nx * nz, axis=-1) - mx * mz
-    cyy = jnp.mean(ny * ny, axis=-1) - my * my
-    cyz = jnp.mean(ny * nz, axis=-1) - my * mz
-    czz = jnp.mean(nz * nz, axis=-1) - mz * mz
+    dx = nx - jnp.mean(nx, axis=-1, keepdims=True)
+    dy = ny - jnp.mean(ny, axis=-1, keepdims=True)
+    dz = nz - jnp.mean(nz, axis=-1, keepdims=True)
+    cxx = jnp.mean(dx * dx, axis=-1)
+    cxy = jnp.mean(dx * dy, axis=-1)
+    cxz = jnp.mean(dx * dz, axis=-1)
+    cyy = jnp.mean(dy * dy, axis=-1)
+    cyz = jnp.mean(dy * dz, axis=-1)
+    czz = jnp.mean(dz * dz, axis=-1)
     vx, vy, vz = _smallest_eigvec_components(cxx, cxy, cxz, cyy, cyz, czz)
     normals = jnp.stack([vx, vy, vz], axis=-1)
 

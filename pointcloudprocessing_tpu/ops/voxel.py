@@ -36,7 +36,6 @@ def voxel_downsample_batch(
     voxel_size: float,
     valid_mask: jnp.ndarray | None = None,
     reduction: str = "centroid",
-    precision=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Downsample a batch of padded clouds by voxel grid.
 
@@ -46,7 +45,6 @@ def voxel_downsample_batch(
       valid_mask: optional (b, n) bool; invalid rows are ignored.
       reduction: 'centroid' (mean of voxel members) or 'first' (lowest input
         index in the voxel — deterministic representative).
-      precision: optional matmul precision for the segment contraction.
 
     Returns:
       (out_points (b, n, 3), out_mask (b, n)) — out_mask[i] True for the
@@ -107,17 +105,19 @@ def voxel_downsample_batch(
     )
     if jax.default_backend() in ("tpu", "axon"):
         # Pallas kernel: the one-hot slab is generated in VMEM instead of
-        # materializing (b, n, n) in HBM (~9x at 256x2048)
+        # materializing (b, n, n) in HBM (~9x over the einsum, which in turn
+        # beats TPU's serialized scatter lowering by ~9x)
         from pointcloudprocessing_tpu.ops.pallas.voxel_reduce import (
             segment_reduce_pallas,
         )
 
         reduced = segment_reduce_pallas(data, rank)
     else:
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 2) == rank[..., None]
-        ).astype(points.dtype)
-        reduced = jnp.einsum("bnk,bnd->bkd", onehot, data, precision=precision)
+        # CPU/GPU: scatter-based segment_sum is linear in memory and lowers
+        # fine off-TPU (a dense one-hot would be O(b*n^2))
+        reduced = jax.vmap(
+            lambda d, r: jax.ops.segment_sum(d, r, num_segments=n)
+        )(data, rank)
     sums, counts = reduced[..., :3], reduced[..., 3]
     if reduction == "centroid":
         out = sums / jnp.maximum(counts, 1.0)[..., None]

@@ -69,7 +69,10 @@ class MeshSampler:
         mesh: Mesh | None = None,
     ):
         """``mesh`` accepts an in-memory Mesh (e.g. from
-        synthesis.procedural) as an alternative to ``mesh_path``."""
+        synthesis.procedural) as an alternative to ``mesh_path``. The mesh
+        is copied before the scale/rotate/center transforms so the caller's
+        object is never mutated (callers commonly reuse one Mesh across
+        several samplers)."""
         self.ADVISORY_HEADER = "MeshSampler:  "
         self.path = mesh_path
         self._R = np.asarray(rotation_matrix, dtype=float)
@@ -77,9 +80,13 @@ class MeshSampler:
         self.label = mesh_label
         self._seed = random_seed
 
-        self.mesh: Mesh | None = mesh
+        self.mesh: Mesh | None = None
         if self.path is not None:
             self.mesh = load_obj(self.path)
+        elif mesh is not None:
+            self.mesh = Mesh(
+                vertices=np.array(mesh.vertices), triangles=np.array(mesh.triangles)
+            )
         if self.mesh is not None:
             self.mesh.scale(scale, np.zeros(3))
             self._rotate_and_center_3d_mesh()

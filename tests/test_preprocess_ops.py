@@ -287,3 +287,17 @@ def test_fps_auto_handles_awkward_batch_sizes(rng):
     pts = jnp.asarray(rng.normal(size=(5, 48, 3)).astype(np.float32))
     idx = farthest_point_sample_batch(pts, 8)
     assert idx.shape == (5, 8)
+
+
+def test_normals_far_from_origin(rng):
+    """Regression (round-2 review): the covariance must be computed in
+    centered form — E[x^2]-E[x]^2 cancels catastrophically in f32 for a
+    2 cm-spread patch 100 m from the origin."""
+    pts = np.zeros((128, 3), np.float32)
+    pts[:, :2] = rng.uniform(-0.01, 0.01, (128, 2))
+    pts += np.array([100.0, 100.0, 100.0], np.float32)
+    normals = np.asarray(
+        estimate_normals(jnp.asarray(pts), k=8, exact=True,
+                         viewpoint=jnp.array([100.0, 100.0, 200.0]))
+    )
+    np.testing.assert_allclose(normals[:, 2], 1.0, atol=1e-3)

@@ -173,3 +173,43 @@ def test_train_over_ram_cap(tmp_path):
     histories = tp.train()
     assert len(histories["stage"]["loss"]) == 2
     assert np.isfinite(histories["stage"]["loss"]).all()
+
+
+def test_native_reader_exact_capacity(split_files):
+    """Regression (round-2 review): a file holding exactly max_records must
+    decode cleanly — only a further record beyond capacity is an error."""
+    from pointcloudprocessing_tpu.utils.native import (
+        native_available,
+        read_tfrecord_file_native,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    pc = split_files
+    path = pc._split_files("train")[0]
+    from pointcloudprocessing_tpu.data import tfrecord
+
+    count = sum(1 for _ in tfrecord.read_tfrecord_file(path))
+    obs, cls, parts, se3 = read_tfrecord_file_native(path, WIDTH, count)
+    assert len(cls) == count
+    with pytest.raises(ValueError):
+        read_tfrecord_file_native(path, WIDTH, count - 1)
+
+
+def test_stream_persists_across_epochs(split_files):
+    """Regression (round-2 review): the shuffle buffer must carry over
+    between batches() calls — consuming exactly 2 epochs of batches yields
+    every record exactly twice, not dropping the buffered tail each epoch."""
+    pc = split_files
+    count = pc.split_count("train")
+    loader = StreamingLoader(
+        pc._split_files("train"), WIDTH, batch_size=count,
+        count=count, shuffle_window=16, chunk_records=4, seed=3,
+    )
+    seen = []
+    for _ in range(2):  # one full-epoch batch per call
+        for x, targets in loader.batches(num_steps=1):
+            seen.extend(np.asarray(x).sum(axis=(1, 2)).round(4).tolist())
+    whole = pc.load_split_arrays("train")
+    want = whole["observations"].sum(axis=(1, 2)).round(4).tolist()
+    assert collections.Counter(seen) == collections.Counter(want + want)
