@@ -19,7 +19,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pointcloudprocessing_tpu.ops.knn import knn
 
 _EPS = 1e-12
 
@@ -109,28 +108,52 @@ def estimate_normals(
 
     Returns (n, 3) unit normals.
     """
-    idx, d2 = knn(points, points, k, valid_mask, exact)
-    # neighborhoods smaller than k (few valid points): top-k pads with
-    # masked +inf entries whose indices are garbage — substitute the query
-    # point itself (zero contribution after centering)
-    own = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
-    idx = jnp.where(jnp.isfinite(d2), idx, own)
-    neighbors = points[idx]  # (n, k, 3)
+    n = points.shape[0]
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), bool)
 
-    # covariance in scalar components (lane-efficient; see module docstring).
-    # CENTERED two-pass form: the E[x^2]-E[x]^2 shortcut catastrophically
-    # cancels in f32 for clouds far from the origin (coords^2 ~1e4 swamps
-    # mm-scale covariances at 100 m range)
-    nx, ny, nz = neighbors[..., 0], neighbors[..., 1], neighbors[..., 2]
-    dx = nx - jnp.mean(nx, axis=-1, keepdims=True)
-    dy = ny - jnp.mean(ny, axis=-1, keepdims=True)
-    dz = nz - jnp.mean(nz, axis=-1, keepdims=True)
-    cxx = jnp.mean(dx * dx, axis=-1)
-    cxy = jnp.mean(dx * dy, axis=-1)
-    cxz = jnp.mean(dx * dz, axis=-1)
-    cyy = jnp.mean(dy * dy, axis=-1)
-    cyz = jnp.mean(dy * dz, axis=-1)
-    czz = jnp.mean(dz * dz, axis=-1)
+    # TPU-shaped neighborhood selection: take only the k-th DISTANCE from
+    # top-k (its VALUES, never its indices) and select the neighbor set as a
+    # threshold mask — the (n, k) index gather and its (n, k, 3) neighbor
+    # tensor cost more than the whole distance matrix on TPU (row gathers
+    # serialize). The masked covariance sums are then one MXU contraction.
+    from pointcloudprocessing_tpu.ops.knn import pairwise_sq_dists
+
+    d = pairwise_sq_dists(points, points)
+    d = jnp.where(valid_mask[None, :], d, jnp.inf)
+    if exact:
+        neg_top, _ = jax.lax.top_k(-d, k)
+        kth = -neg_top[:, -1]
+    else:
+        vals, _ = jax.lax.approx_min_k(d, k)
+        kth = vals[:, -1]
+    # short neighborhoods (< k valid points): kth is inf -> every valid
+    # point selects (count-normalized below), no garbage-index hack needed
+    sel = ((d <= kth[:, None]) & valid_mask[None, :]).astype(points.dtype)
+
+    # second moments of CENTROID-CENTERED coordinates: raw-coordinate
+    # products catastrophically cancel in f32 for clouds far from the origin
+    # (coords^2 ~1e4 swamps mm-scale covariances at 100 m range)
+    denom = jnp.maximum(jnp.sum(valid_mask.astype(points.dtype)), 1.0)
+    centroid = jnp.sum(
+        jnp.where(valid_mask[:, None], points, 0.0), axis=0
+    ) / denom
+    c = points - centroid
+    cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
+    feats = jnp.stack(
+        [cx, cy, cz, cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz,
+         jnp.ones_like(cx)],
+        axis=-1,
+    )  # (n, 10)
+    sums = sel @ feats  # (n, 10) MXU contraction over the neighbor sets
+    cnt = jnp.maximum(sums[:, 9], 1.0)
+    mx, my, mz = sums[:, 0] / cnt, sums[:, 1] / cnt, sums[:, 2] / cnt
+    cxx = sums[:, 3] / cnt - mx * mx
+    cxy = sums[:, 4] / cnt - mx * my
+    cxz = sums[:, 5] / cnt - mx * mz
+    cyy = sums[:, 6] / cnt - my * my
+    cyz = sums[:, 7] / cnt - my * mz
+    czz = sums[:, 8] / cnt - mz * mz
     vx, vy, vz = _smallest_eigvec_components(cxx, cxy, cxz, cyy, cyz, czz)
     normals = jnp.stack([vx, vy, vz], axis=-1)
 
