@@ -203,6 +203,47 @@ def bench_train_step(
     return batch / dt
 
 
+def bench_train_multi_step(
+    batch: int = 32, width: int = 1024, chunk: int = 8, rounds: int = 4, dtype=None
+) -> float:
+    """Training with ``chunk`` scanned steps per dispatch (the production
+    loop's steps_per_dispatch) — amortizes the per-call host/tunnel overhead
+    that dominates small-batch training."""
+    model = PointNet(
+        num_classes=NUM_CLASSES, num_parts=NUM_PARTS,
+        regularize_input_transform=True, regularize_feature_transform=True,
+        dtype=dtype,
+    )
+    freeze = FreezeFlags()
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), width, LearningConfig(rate=1e-4), freeze,
+        batch_size=1,
+    )
+    multi = steps_lib.make_train_multi_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.01, 0.01, 0.01)
+    )
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(chunk, batch, width, 3)).astype(np.float32))
+    targets = {
+        "classification_output": jnp.asarray(
+            rng.integers(0, NUM_CLASSES, (chunk, batch)).astype(np.int32)),
+        "segmentation_output": jnp.asarray(
+            rng.integers(0, NUM_PARTS, (chunk, batch, width)).astype(np.int32)),
+        "se3": jnp.asarray(
+            np.broadcast_to(np.eye(3, dtype=np.float32), (chunk, batch, 3, 3)).copy()),
+    }
+    key = jax.random.key(1)
+
+    state, logs = multi(state, xs, targets, key)  # compile
+    _ = float(logs["loss"][-1])
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        state, logs = multi(state, xs, targets, key)
+    _ = float(logs["loss"][-1])
+    dt = (time.perf_counter() - t0) / (rounds * chunk)
+    return batch / dt
+
+
 def bench_e2e_pipeline(batch: int = 256, width_in: int = 2048, width_out: int = 1024,
                        steps: int = 10) -> float:
     """Streamed scans -> voxel/FPS/normals -> PointNet classify, single fused
@@ -268,6 +309,9 @@ def main() -> None:
         ("preprocess_Mpts_per_s", bench_preprocess),
         ("train_clouds_per_s_b32", bench_train_step),
         ("train_bf16_clouds_per_s_b32", lambda: bench_train_step(dtype=jnp.bfloat16)),
+        ("train_scan8_clouds_per_s_b32", bench_train_multi_step),
+        ("train_scan8_bf16_clouds_per_s_b32",
+         lambda: bench_train_multi_step(dtype=jnp.bfloat16)),
         ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
         ("e2e_pipeline_clouds_per_s", bench_e2e_pipeline),
     ]:

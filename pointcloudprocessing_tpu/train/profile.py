@@ -186,6 +186,10 @@ class TrainProfile:
         # checkpoint (full TrainState + epoch + history + early-stop state)
         self.resume: bool = True
         self.resume_every: int = 1  # epochs between resume checkpoints
+        # train steps per device dispatch (lax.scan over stacked batches —
+        # numerically identical to sequential steps, amortizes the per-call
+        # host overhead; ~1.6x at batch 32 through the remote tunnel)
+        self.steps_per_dispatch: int = 8
 
     # ------------------------------------------------------------------
 
@@ -275,6 +279,24 @@ class TrainProfile:
             jax.config.update("jax_debug_nans", False)
         return histories
 
+    @staticmethod
+    def _run_chunk(multi_step, state, pending, rng, batch_logs):
+        """Dispatch a stacked chunk of batches through the scanned step and
+        unstack its per-step logs (numerically identical to sequential
+        single steps — see steps.make_train_multi_step)."""
+        import jax.numpy as jnp
+
+        xs = jnp.stack([x for x, _ in pending])
+        targets = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *[t for _, t in pending]
+        )
+        state, stacked = multi_step(state, xs, targets, rng)
+        for k in range(len(pending)):
+            batch_logs.append(
+                jax.tree_util.tree_map(lambda a, k=k: a[k], stacked)
+            )
+        return state, batch_logs
+
     def _train_stage(self, stage, model, state, optimizer, freeze) -> dict:
         cfg = self.config
         pc = self._pc_sets[stage.name]
@@ -296,6 +318,12 @@ class TrainProfile:
         jitter_stdev = stage.noise.as_tuple()
         train_step = steps_lib.make_train_step(model, optimizer, weights, freeze, jitter_stdev)
         eval_step = steps_lib.make_eval_step(model, weights, jitter_stdev)
+        chunk = max(int(self.steps_per_dispatch), 1)
+        multi_step = (
+            steps_lib.make_train_multi_step(model, optimizer, weights, freeze, jitter_stdev)
+            if chunk > 1
+            else None
+        )
 
         train_loader = pc.get_train_set()
         val_loader = pc.get_val_set()
@@ -355,9 +383,21 @@ class TrainProfile:
                     )
                 t0 = time.perf_counter()
                 batch_logs = []
+                pending: list = []
                 for x, targets in train_loader.batches(
                     num_steps=steps_per_epoch, device=batch_device, epoch=epoch
                 ):
+                    if multi_step is None:
+                        state, logs = train_step(state, x, targets, rng)
+                        batch_logs.append(logs)
+                        continue
+                    pending.append((x, targets))
+                    if len(pending) == chunk:
+                        state, batch_logs = self._run_chunk(
+                            multi_step, state, pending, rng, batch_logs
+                        )
+                        pending = []
+                for x, targets in pending:  # epoch tail smaller than a chunk
                     state, logs = train_step(state, x, targets, rng)
                     batch_logs.append(logs)
                 if profiling:

@@ -131,6 +131,55 @@ def _metric_sums(outputs, targets):
     }
 
 
+def _train_step_impl(
+    model: PointNet,
+    optimizer: optax.GradientTransformation,
+    loss_weights: tuple[float, float, float],
+    freeze: FreezeFlags,
+    jitter_stdev: tuple[float, float, float],
+    state: TrainState,
+    x,
+    targets,
+    rng,
+):
+    """One un-jitted train step (shared by the single- and multi-step forms)."""
+    jitter_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+    x = jitter(x, jitter_rng, jitter_stdev)
+
+    def loss_fn(params):
+        outputs, updates = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            x,
+            train=True,
+            freeze=freeze,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats", "reg_losses"],
+        )
+        reg_sum = sum(
+            jnp.sum(v)
+            for v in jax.tree_util.tree_leaves(updates.get("reg_losses", {}))
+        )
+        total, head_losses = multi_head_loss(
+            outputs, targets, loss_weights, reg_sum
+        )
+        return total, (outputs, updates["batch_stats"], head_losses)
+
+    (total, (outputs, new_batch_stats, head_losses)), grads = (
+        jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    )
+    updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    logs = {"loss": total, **head_losses, **_metric_sums(outputs, targets)}
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_batch_stats,
+        opt_state=new_opt_state,
+    )
+    return new_state, logs
+
+
 def make_train_step(
     model: PointNet,
     optimizer: optax.GradientTransformation,
@@ -139,45 +188,44 @@ def make_train_step(
     jitter_stdev: tuple[float, float, float],
 ) -> Callable:
     """Build the jitted train step: (state, x, targets, rng) -> (state, logs)."""
-
-    def step(state: TrainState, x, targets, rng):
-        jitter_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
-        x = jitter(x, jitter_rng, jitter_stdev)
-
-        def loss_fn(params):
-            outputs, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x,
-                train=True,
-                freeze=freeze,
-                rngs={"dropout": dropout_rng},
-                mutable=["batch_stats", "reg_losses"],
-            )
-            reg_sum = sum(
-                jnp.sum(v)
-                for v in jax.tree_util.tree_leaves(updates.get("reg_losses", {}))
-            )
-            total, head_losses = multi_head_loss(
-                outputs, targets, loss_weights, reg_sum
-            )
-            return total, (outputs, updates["batch_stats"], head_losses)
-
-        (total, (outputs, new_batch_stats, head_losses)), grads = (
-            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        )
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-
-        logs = {"loss": total, **head_losses, **_metric_sums(outputs, targets)}
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            batch_stats=new_batch_stats,
-            opt_state=new_opt_state,
-        )
-        return new_state, logs
-
+    step = partial(
+        _train_step_impl, model, optimizer, loss_weights, freeze, jitter_stdev
+    )
+    # argnums index the partial's call signature: (state, x, targets, rng)
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_train_multi_step(
+    model: PointNet,
+    optimizer: optax.GradientTransformation,
+    loss_weights: tuple[float, float, float],
+    freeze: FreezeFlags,
+    jitter_stdev: tuple[float, float, float],
+) -> Callable:
+    """K train steps per dispatch: (state, xs (K,b,n,3), targets (K,...), rng)
+    -> (state, logs with leading K).
+
+    A device-side ``lax.scan`` over stacked batches — numerically identical
+    to K sequential single steps (the per-step rng folds in ``state.step``),
+    but one dispatch instead of K. Per-dispatch host overhead (PJRT argument
+    parsing of the ~150-leaf TrainState + transport) measures ~1-2 ms through
+    the remote tunnel, which at ~3-5 ms/step is the dominant single cost —
+    scanning 8 steps per call lifts b32 bf16 training from ~8.6k to ~14k
+    clouds/s on v5e.
+    """
+    inner = partial(
+        _train_step_impl, model, optimizer, loss_weights, freeze, jitter_stdev
+    )
+
+    def multi(state: TrainState, xs, targets, rng):
+        def body(carry, inp):
+            x_k, t_k = inp
+            new_state, logs = inner(carry, x_k, t_k, rng)
+            return new_state, logs
+
+        return jax.lax.scan(body, state, (xs, targets))
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_eval_step(

@@ -70,3 +70,27 @@ def test_completed_stage_does_not_resume(tmp_path):
     # rerun with the same config: starts from scratch (epoch count full)
     _, second = _run(tmp_path / "c", config_path=config_path)
     assert len(second["loss"]) == EPOCHS
+
+
+def test_chunked_dispatch_matches_single_step(tmp_path):
+    """steps_per_dispatch>1 (scanned multi-step) must reproduce the exact
+    single-step history."""
+    from pointcloudprocessing_tpu.train.profile import TrainProfile
+
+    config_path = make_config(tmp_path / "single", epochs=3,
+                              stages=("classification_pretrain",))
+    tp1 = TrainProfile(config_path, log_to_file=False)
+    tp1.steps_per_dispatch = 1
+    h1 = tp1.train()["classification_pretrain"]
+
+    config_path2 = make_config(tmp_path / "chunked", epochs=3,
+                               stages=("classification_pretrain",))
+    tp2 = TrainProfile(config_path2, log_to_file=False)
+    tp2.steps_per_dispatch = 2  # steps_per_epoch=3 -> one chunk + a tail step
+    h2 = tp2.train()["classification_pretrain"]
+
+    for key in h1:
+        np.testing.assert_allclose(
+            h2[key], h1[key], rtol=1e-5, atol=1e-6,
+            err_msg=f"history key {key} diverged under chunked dispatch",
+        )

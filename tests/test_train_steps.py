@@ -169,3 +169,54 @@ def test_data_parallel_step_over_mesh():
     x2, targets2 = _toy_problem()
     _, logs2 = step2(state2, x2, targets2, jax.random.key(7))
     assert float(logs["loss"]) == pytest.approx(float(logs2["loss"]), rel=1e-4)
+
+
+def test_multi_step_matches_sequential(rng):
+    """make_train_multi_step must be numerically identical to K sequential
+    single steps (same per-step rng fold, same BN/Adam updates)."""
+    from pointcloudprocessing_tpu.core.config import LearningConfig
+    from pointcloudprocessing_tpu.models import FreezeFlags, PointNet
+    from pointcloudprocessing_tpu.train import steps as steps_lib
+
+    model = PointNet(num_classes=3, num_parts=2, vanilla=True)
+    freeze = FreezeFlags()
+    K, B, W = 3, 4, 16
+
+    def fresh_state():
+        state, opt = steps_lib.init_train_state(
+            model, jax.random.key(0), W, LearningConfig(rate=1e-3), freeze,
+            batch_size=1,
+        )
+        return state, opt
+
+    xs = jnp.asarray(rng.normal(size=(K, B, W, 3)).astype(np.float32))
+    targets = {
+        "classification_output": jnp.asarray(rng.integers(0, 3, (K, B)).astype(np.int32)),
+        "segmentation_output": jnp.asarray(rng.integers(0, 2, (K, B, W)).astype(np.int32)),
+        "se3": jnp.asarray(np.broadcast_to(np.eye(3, dtype=np.float32), (K, B, 3, 3)).copy()),
+    }
+    key = jax.random.key(7)
+
+    state_a, opt = fresh_state()
+    single = steps_lib.make_train_step(model, opt, (1.0, 1.0, 0.1), freeze, (0.01, 0, 0))
+    seq_losses = []
+    for k in range(K):
+        tk = jax.tree_util.tree_map(lambda a, k=k: a[k], targets)
+        state_a, logs = single(state_a, xs[k], tk, key)
+        seq_losses.append(float(logs["loss"]))
+
+    state_b, opt_b = fresh_state()
+    multi = steps_lib.make_train_multi_step(model, opt_b, (1.0, 1.0, 0.1), freeze, (0.01, 0, 0))
+    state_b, stacked = multi(state_b, xs, targets, key)
+
+    np.testing.assert_allclose(np.asarray(stacked["loss"]), seq_losses, rtol=1e-5)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5, atol=1e-7)
+    for sa, sb in zip(
+        jax.tree_util.tree_leaves(state_a.batch_stats),
+        jax.tree_util.tree_leaves(state_b.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), rtol=1e-5, atol=1e-7)
