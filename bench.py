@@ -316,7 +316,7 @@ def main() -> None:
         ("e2e_pipeline_clouds_per_s", bench_e2e_pipeline),
     ]:
         try:
-            log(f"[*] {name}: {fn():.1f}")
+            log(f"[*] {name}: {fn():.4g}")
         except Exception as e:
             log(f"{name} failed: {type(e).__name__}: {e}")
 
