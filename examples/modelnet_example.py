@@ -51,6 +51,12 @@ def build_arrays(pairs, num_points: int, seed: int = 0, label_map: dict | None =
     frozen = label_map is not None
     for i, (class_name, mesh) in enumerate(pairs):
         if frozen:
+            if class_name not in names:
+                print(
+                    f"Skipping a '{class_name}' mesh: the class has no "
+                    "training meshes, so it has no label"
+                )
+                continue
             label = names[class_name]
         else:
             label = names.setdefault(class_name, len(names))

@@ -252,9 +252,13 @@ class StreamingLoader:
                 if len(header) < 8:
                     break  # clean EOF
                 (length,) = struct.unpack("<Q", header)
-                f.seek(4, 1)  # length CRC (decode_example rejects bad data)
+                (len_crc,) = struct.unpack("<I", f.read(4))
+                if tfrecord.masked_crc32c(header) != len_crc:
+                    raise ValueError(f"{path}: corrupt record length CRC")
                 record = f.read(length)
-                f.seek(4, 1)  # data CRC
+                (data_crc,) = struct.unpack("<I", f.read(4))
+                if tfrecord.masked_crc32c(record) != data_crc:
+                    raise ValueError(f"{path}: corrupt record data CRC")
                 ex = tfrecord.decode_example(record)
                 obs_l.append(ex["observations"].reshape(self._width, 3))
                 cls_l.append(np.int32(ex["class_label"][0]))

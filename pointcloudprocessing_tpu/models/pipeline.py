@@ -50,11 +50,15 @@ class PointCloudPipeline:
         self.scan_width = scan_width
         self.model_width = model_width
 
+        # FPS from an unmasked full-width scan to the same width is an
+        # expensive identity permutation (PointNet is permutation-invariant)
+        fps_is_noop = voxel_size is None and model_width == scan_width
+
         def run(points):
             mask = None
             if voxel_size is not None:
                 points, mask = voxel_downsample_batch(points, voxel_size)
-            if use_fps:
+            if use_fps and not fps_is_noop:
                 # fused sample+gather: on TPU the Pallas FPS kernel emits the
                 # selected coordinates directly (a take_along_axis gather
                 # costs more than the sampling itself)
@@ -86,23 +90,25 @@ class PointCloudPipeline:
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
-        def producer():
-            for batch in batches:
-                staged = jax.device_put(np.asarray(batch, dtype=np.float32))
-                while not stop.is_set():
-                    try:
-                        q.put(staged, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                else:
-                    return
+        def _put(item) -> bool:
             while not stop.is_set():
                 try:
-                    q.put(None, timeout=0.1)
-                    return
+                    q.put(item, timeout=0.1)
+                    return True
                 except queue.Full:
                     continue
+            return False
+
+        def producer():
+            # the sentinel must reach the consumer even if the source
+            # iterator raises — otherwise q.get() blocks forever
+            try:
+                for batch in batches:
+                    staged = jax.device_put(np.asarray(batch, dtype=np.float32))
+                    if not _put(staged):
+                        return
+            finally:
+                _put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

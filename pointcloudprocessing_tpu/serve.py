@@ -40,24 +40,44 @@ def _find_config(model_dir: str) -> str:
 
 
 def _frame_paths(input_dir: str) -> list[str]:
+    import re
+
     lidar = os.path.join(input_dir, "Lidar")
     root = lidar if os.path.isdir(lidar) else input_dir
-    paths = glob.glob(os.path.join(root, "frame_*.txt"))
-    return sorted(paths, key=lambda p: int(os.path.basename(p)[6:-4]))
+    # only exact frame_<N>.txt names — real collects may hold strays like
+    # frame_2_backup.txt that must not crash the numeric sort
+    indexed = []
+    for path in glob.glob(os.path.join(root, "frame_*.txt")):
+        m = re.fullmatch(r"frame_(\d+)\.txt", os.path.basename(path))
+        if m:
+            indexed.append((int(m.group(1)), path))
+    return [path for _, path in sorted(indexed)]
 
 
 def _scan_batches(
     paths: list[str], class_labels, part_labels, width: int, batch: int
 ) -> Iterator[tuple[list[str], np.ndarray]]:
-    """Yield (frame names, (b, width, 3) arrays); last batch zero-padded."""
-    from pointcloudprocessing_tpu.data.frames import parse_frame_file
+    """Yield (frame names, (b, width, 3) arrays); last batch zero-padded.
+
+    Unparseable frames are skipped with an advisory (the ingest path's
+    per-frame skip-and-log contract, PointCloudSet.py:212-214) — an
+    exception here would kill the pipeline's producer thread and hang the
+    consumer."""
+    from pointcloudprocessing_tpu.data.frames import FrameError, parse_frame_file
     from pointcloudprocessing_tpu.ops.resample import adjust_to_input_width_np
 
     rng = np.random.default_rng(0)
     names, scans = [], []
     for path in paths:
-        obs, _, parts = parse_frame_file(path, class_labels, part_labels)
-        obs, _ = adjust_to_input_width_np(obs, parts, width, rng)
+        try:
+            obs, _, parts = parse_frame_file(path, class_labels, part_labels)
+            obs, _ = adjust_to_input_width_np(obs, parts, width, rng)
+        except (FrameError, OSError, ValueError, KeyError) as e:
+            print(
+                f"Skipping {os.path.basename(path)}: {type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+            continue
         names.append(os.path.basename(path))
         scans.append(obs.astype(np.float32))
         if len(scans) == batch:

@@ -30,8 +30,12 @@ def sparse_categorical_crossentropy(
     """
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     probs = jnp.clip(probs, KERAS_EPSILON, 1.0 - KERAS_EPSILON)
+    # clamp labels into range (the gather formulation's XLA clamp semantics);
+    # an unclamped out-of-range label would match no class and silently
+    # contribute zero loss
+    labels = jnp.clip(labels.astype(jnp.int32), 0, probs.shape[-1] - 1)
     classes = jax.lax.broadcasted_iota(jnp.int32, probs.shape, probs.ndim - 1)
-    onehot = classes == labels[..., None].astype(jnp.int32)
+    onehot = classes == labels[..., None]
     return -jnp.sum(jnp.where(onehot, jnp.log(probs), 0.0), axis=-1)
 
 
