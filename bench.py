@@ -204,7 +204,7 @@ def bench_train_step(
 
 
 def bench_train_multi_step(
-    batch: int = 32, width: int = 1024, chunk: int = 8, rounds: int = 4, dtype=None
+    batch: int = 32, width: int = 1024, chunk: int = 32, rounds: int = 3, dtype=None
 ) -> float:
     """Training with ``chunk`` scanned steps per dispatch (the production
     loop's steps_per_dispatch) — amortizes the per-call host/tunnel overhead
@@ -309,8 +309,8 @@ def main() -> None:
         ("preprocess_Mpts_per_s", bench_preprocess),
         ("train_clouds_per_s_b32", bench_train_step),
         ("train_bf16_clouds_per_s_b32", lambda: bench_train_step(dtype=jnp.bfloat16)),
-        ("train_scan8_clouds_per_s_b32", bench_train_multi_step),
-        ("train_scan8_bf16_clouds_per_s_b32",
+        ("train_scan32_clouds_per_s_b32", bench_train_multi_step),
+        ("train_scan32_bf16_clouds_per_s_b32",
          lambda: bench_train_multi_step(dtype=jnp.bfloat16)),
         ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
         ("e2e_pipeline_clouds_per_s", bench_e2e_pipeline),

@@ -188,8 +188,9 @@ class TrainProfile:
         self.resume_every: int = 1  # epochs between resume checkpoints
         # train steps per device dispatch (lax.scan over stacked batches —
         # numerically identical to sequential steps, amortizes the per-call
-        # host overhead; ~1.6x at batch 32 through the remote tunnel)
-        self.steps_per_dispatch: int = 8
+        # host overhead; ~2x at batch 32 through the remote tunnel, still
+        # improving at 32 steps/dispatch: 8.6k -> 16.5k clouds/s bf16)
+        self.steps_per_dispatch: int = 32
 
     # ------------------------------------------------------------------
 
