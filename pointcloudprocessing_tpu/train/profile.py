@@ -331,17 +331,51 @@ class TrainProfile:
         steps_per_epoch = max(pc.split_count("train") // cfg.batch_size, 1)
         validation_steps = max(pc.split_count("val") // cfg.batch_size, 1)
 
-        # multi-device data parallelism when the batch divides evenly
+        # multi-device parallelism: pure batch DP when the batch divides
+        # evenly; otherwise a 2-D data x points mesh (the SP analogue —
+        # pointwise MLPs shard over N, the global max-pool all-reduces)
+        # soaks up the remaining devices for awkward batch sizes
         devices = jax.devices()
         mesh = None
-        if len(devices) > 1 and cfg.batch_size % len(devices) == 0:
-            mesh = data_parallel_mesh(devices)
-            state = jax.device_put(state, replicated_sharding(mesh))
-            self._log.info(
-                f"Data-parallel over {len(devices)} devices "
-                f"({cfg.batch_size // len(devices)} clouds/device)"
+        n_dev = len(devices)
+        if n_dev > 1:
+            points_axis = 1
+            if cfg.batch_size % n_dev != 0:
+                for pa in (2, 4, 8):
+                    data_axis = n_dev // pa
+                    if (
+                        n_dev % pa == 0
+                        and data_axis > 0
+                        and cfg.batch_size % data_axis == 0
+                        and cfg.input_width % pa == 0
+                    ):
+                        points_axis = pa
+                        break
+            if cfg.batch_size % (n_dev // points_axis) == 0:
+                mesh = data_parallel_mesh(devices, points_axis=points_axis)
+                state = jax.device_put(state, replicated_sharding(mesh))
+                self._log.info(
+                    "Parallel mesh "
+                    f"{dict(zip(mesh.axis_names, mesh.devices.shape))} over "
+                    f"{n_dev} devices"
+                )
+        from pointcloudprocessing_tpu.parallel.mesh import NamedSharding, P
+
+        if mesh is None:
+            batch_device = None
+        else:
+            # per-leaf shardings: clouds and per-point labels shard on the
+            # points axis when it exists; rank-1 labels and the 3x3 SE(3)
+            # targets are data-sharded only
+            data_only = NamedSharding(mesh, P("data"))
+            batch_device = (
+                batch_sharding(mesh),
+                {
+                    "classification_output": data_only,
+                    "segmentation_output": batch_sharding(mesh),
+                    "se3": data_only,
+                },
             )
-        batch_device = batch_sharding(mesh) if mesh is not None else None
 
         early = EarlyStopping(cfg.patience, self._log.info)
         ckpt = BestCheckpoint(stage_dir, self._log.info)

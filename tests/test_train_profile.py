@@ -181,3 +181,29 @@ def test_learning_happened(trained):
         "classification_output_sparse_categorical_accuracy"
     ]
     assert acc[-1] >= acc[0] * 0.8  # not diverging
+
+
+def test_points_axis_mesh_training(tmp_path):
+    """Batch sizes that don't divide the device count fall back to a 2-D
+    data x points mesh in the REAL training path (point-axis sharding of the
+    pointwise MLPs; the max-pool all-reduces) and still train to a sane
+    history."""
+    import jax
+
+    from pointcloudprocessing_tpu.train.profile import TrainProfile
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    config_path = make_config(tmp_path, epochs=2, stages=("classification_pretrain",))
+    import json as _json
+
+    cfg = _json.load(open(config_path))
+    cfg["params"]["batch_size"] = 12  # 12 % 8 != 0, 12 % 4 == 0 -> (4, 2) mesh
+    with open(config_path, "w") as f:
+        _json.dump(cfg, f)
+
+    tp = TrainProfile(config_path, log_to_file=False)
+    histories = tp.train()
+    h = histories["classification_pretrain"]
+    assert len(h["loss"]) == 2
+    assert np.isfinite(h["loss"]).all()
+    assert np.isfinite(h["val_loss"]).all()
