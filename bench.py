@@ -158,7 +158,10 @@ def bench_preprocess(batch: int = 8, width: int = 8192, steps: int = 10) -> floa
     @jax.jit
     def step(x):
         vox, mask = voxel_downsample_batch(x, 0.5)
-        normals = estimate_normals_batch(vox, k=16, valid_mask=mask)
+        # windowed Pallas path: voxel output is Morton-ordered, so the
+        # kernel's index-window candidate set is spatially valid (median
+        # angle error vs exact < 0.5 deg, test_preprocess_ops.py)
+        normals = estimate_normals_batch(vox, k=16, valid_mask=mask, method="window")
         return _tie((vox, normals), x)
 
     dt = _chain_time(step, pts, steps)

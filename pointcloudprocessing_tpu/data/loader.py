@@ -203,6 +203,7 @@ class StreamingLoader:
         self._batch_size = batch_size
         self._count = count
         self._window = max(shuffle_window, 1)
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._interleave = max(interleave, 1)
         self._chunk_records = max(min(chunk_records, self._window), 1)

@@ -95,6 +95,7 @@ def estimate_normals(
     valid_mask: jnp.ndarray | None = None,
     viewpoint: jnp.ndarray | None = None,
     exact: bool = False,
+    method: str | None = None,
 ) -> jnp.ndarray:
     """Per-point unit normals from PCA over k neighborhoods.
 
@@ -105,9 +106,23 @@ def estimate_normals(
       viewpoint: optional (3,) — orient normals toward this point.
       exact: False (default) uses approx_min_k neighbors — ~10x faster on
         TPU with negligible effect on the PCA plane fit.
+      method: overrides ``exact`` when given. "exact" | "approx" as above;
+        "window" runs the Pallas windowed kernel, which never builds the
+        (n, n) distance matrix — ~10x faster again, but it only sees
+        neighbor candidates within a contiguous index window, so the input
+        must be in a spatially local order (Morton/voxel-sorted, e.g. the
+        output of ``voxel_downsample``, or a raw scan-line ordering).
 
     Returns (n, 3) unit normals.
     """
+    if method == "window":
+        mask = (
+            jnp.ones(points.shape[:1], bool) if valid_mask is None else valid_mask
+        )
+        out = _estimate_normals_window(points[None], mask[None], k, viewpoint)
+        return out[0]
+    if method is not None:
+        exact = {"exact": True, "approx": False}[method]
     n = points.shape[0]
     if valid_mask is None:
         valid_mask = jnp.ones((n,), bool)
@@ -164,15 +179,71 @@ def estimate_normals(
     return normals
 
 
+def _orient_to_viewpoint(normals, points, viewpoint):
+    to_view = viewpoint[..., None, :] - points
+    sign = jnp.sign(jnp.sum(normals * to_view, axis=-1, keepdims=True))
+    return normals * jnp.where(sign == 0, 1.0, sign)
+
+
+def _estimate_normals_window(points, valid_mask, k, viewpoint, window=256):
+    """Batched windowed-kNN normals via the Pallas moment-sum kernel.
+
+    Points must be in a spatially local index order (see estimate_normals).
+    The kernel consumes per-cloud CENTERED coordinates (f32 cancellation)
+    and returns masked first/second moment sums; the covariance assembly
+    and closed-form eigen-solve run here, elementwise in XLA.
+    """
+    from pointcloudprocessing_tpu.ops.pallas.window_normals import (
+        windowed_moment_sums,
+    )
+
+    n_in = points.shape[1]
+    n = max(-(-n_in // 128) * 128, 128)
+    if n != n_in:  # pad to the kernel's lane granularity with invalid rows
+        pad = [(0, 0), (0, n - n_in)]
+        points = jnp.pad(points, pad + [(0, 0)])
+        valid_mask = jnp.pad(valid_mask, pad)
+    q_block = 256 if n % 256 == 0 else 128
+    window = min(window, (n - q_block) // 2 // 128 * 128)
+    denom = jnp.maximum(jnp.sum(valid_mask, axis=1, dtype=points.dtype), 1.0)
+    centroid = jnp.sum(
+        jnp.where(valid_mask[..., None], points, 0.0), axis=1
+    ) / denom[:, None]
+    centered = points - centroid[:, None, :]
+    cnt, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz = windowed_moment_sums(
+        centered, valid_mask, k, window=window, q_block=q_block
+    )
+    cnt = jnp.maximum(cnt, 1.0)
+    mx, my, mz = sx / cnt, sy / cnt, sz / cnt
+    vx, vy, vz = _smallest_eigvec_components(
+        sxx / cnt - mx * mx,
+        sxy / cnt - mx * my,
+        sxz / cnt - mx * mz,
+        syy / cnt - my * my,
+        syz / cnt - my * mz,
+        szz / cnt - mz * mz,
+    )
+    normals = jnp.stack([vx, vy, vz], axis=-1)
+    if viewpoint is not None:
+        normals = _orient_to_viewpoint(normals, points, viewpoint)
+    return normals[:, :n_in]
+
+
 def estimate_normals_batch(
     points: jnp.ndarray,
     k: int = 16,
     valid_mask: jnp.ndarray | None = None,
     viewpoint: jnp.ndarray | None = None,
     exact: bool = False,
+    method: str | None = None,
 ):
     if valid_mask is None:
         valid_mask = jnp.ones(points.shape[:2], bool)
+    if method == "window":
+        # natively batched (Pallas grid over clouds) — no vmap
+        return _estimate_normals_window(points, valid_mask, k, viewpoint)
+    if method is not None:
+        exact = {"exact": True, "approx": False}[method]
     if viewpoint is None:
         return jax.vmap(lambda p, m: estimate_normals(p, k, m, None, exact))(points, valid_mask)
     return jax.vmap(lambda p, m, v: estimate_normals(p, k, m, v, exact))(

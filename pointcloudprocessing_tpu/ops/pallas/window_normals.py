@@ -1,0 +1,185 @@
+"""Pallas TPU kernel: windowed-kNN covariance sums for normal estimation.
+
+The brute-force normals path (ops/normals.py) streams an (n, n) distance
+matrix through HBM three times (build, approx_min_k, threshold-select); at
+8x8192 that is ~6 GB of traffic per batch — the whole cost of the op. This
+kernel exploits spatial locality in the point ORDER instead: when points
+arrive sorted along a Morton curve (the voxel pipeline's output order,
+ops/voxel.py), the k nearest neighbors of point i live almost surely inside
+a contiguous index window [i - W, i + W]. Each program therefore
+
+  1. loads one cloud's coordinate planes (VMEM-resident rows),
+  2. computes a (Q, C) distance tile between Q consecutive queries and
+     their C = Q + 2W surrounding candidates,
+  3. picks a per-query neighborhood threshold as the smallest power-of-two
+     multiple of the nearest-neighbor distance whose candidate count
+     reaches k (a branch-free substitute for the k-th order statistic:
+     count lands in [k, 2k), and one half-step refinement tightens it to
+     [k, sqrt(2) k)),
+  4. accumulates the masked first/second coordinate moments on the VPU.
+
+Nothing n^2-sized ever exists, in HBM or VMEM: traffic is O(b n) and
+compute is O(b n C) with C << n. The eigen-solve over the returned moment
+sums stays in XLA (elementwise, ops/normals.py).
+
+Coordinates must be pre-centered per cloud (raw second moments cancel
+catastrophically in f32 for far-from-origin clouds); the XLA wrapper in
+ops/normals.py does this.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+# count-threshold search levels: thresholds m * 2^s, s in [0, _LEVELS);
+# covers a 2^12 = 4096x spread between nearest-neighbor and k-th-neighbor
+# squared distance (64x in radius — beyond any sane scan density profile)
+_LEVELS = 12
+
+
+def _window_kernel(
+    cx_ref, cy_ref, cz_ref, valid_ref,
+    cnt_ref, sx_ref, sy_ref, sz_ref,
+    sxx_ref, sxy_ref, sxz_ref, syy_ref, syz_ref, szz_ref,
+    *, q_block: int, window: int, k: int,
+):
+    n = cx_ref.shape[-1]
+    c = q_block + 2 * window
+    iq = pl.program_id(1)
+    q0 = pl.multiple_of(iq * q_block, 128)
+    # q_block, window, and n are all 128-multiples, so the clamped window
+    # start stays aligned — Mosaic can't see that through the clip, hence
+    # the explicit hint
+    start = pl.multiple_of(jnp.clip(q0 - window, 0, n - c), 128)
+
+    # candidates: (1, C) row slices of the VMEM-resident cloud planes
+    # (refs are (1, 1, n) — Mosaic block rule wants the sublane dim of a
+    # block to be 8-divisible or the full array dim, hence the unit axis)
+    px = cx_ref[0, 0:1, pl.ds(start, c)]
+    py = cy_ref[0, 0:1, pl.ds(start, c)]
+    pz = cz_ref[0, 0:1, pl.ds(start, c)]
+    pv = valid_ref[0, 0:1, pl.ds(start, c)] > 0.5
+
+    # queries: (Q, 1) columns (sublane-major so d broadcasts to (Q, C))
+    qx = jnp.swapaxes(cx_ref[0, 0:1, pl.ds(q0, q_block)], 0, 1)
+    qy = jnp.swapaxes(cy_ref[0, 0:1, pl.ds(q0, q_block)], 0, 1)
+    qz = jnp.swapaxes(cz_ref[0, 0:1, pl.ds(q0, q_block)], 0, 1)
+
+    dx = qx - px
+    dy = qy - py
+    dz = qz - pz
+    d = dx * dx + dy * dy + dz * dz  # (Q, C)
+
+    inf = jnp.float32(jnp.inf)
+    # nearest NON-SELF neighbor distance per query (d == 0 rows are the
+    # query itself or an exact duplicate; duplicates still count as
+    # neighbors below, they just must not zero the threshold base)
+    m = jnp.min(jnp.where(pv & (d > 0.0), d, inf), axis=1, keepdims=True)
+
+    kf = jnp.float32(k)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    missed = jnp.float32(0.0)  # levels whose count fell short of k
+    for s in range(_LEVELS):
+        cnt_s = jnp.sum(
+            jnp.where(pv & (d <= m * jnp.float32(2.0**s)), one, zero),
+            axis=1, keepdims=True,
+        )
+        missed += jnp.where(cnt_s < kf, one, zero)
+    # smallest level reaching k; if none did (short windows / < k valid
+    # points) select every valid candidate, matching the brute-force
+    # path's kth = inf behavior
+    thr = jnp.where(missed >= _LEVELS, inf, m * jnp.exp2(missed))
+    # half-level refinement: count overshoot 2x -> sqrt(2)x
+    thr_lo = m * jnp.exp2(missed - 0.5)
+    cnt_lo = jnp.sum(
+        jnp.where(pv & (d <= thr_lo), one, zero), axis=1, keepdims=True
+    )
+    thr = jnp.where(cnt_lo >= kf, thr_lo, thr)
+
+    sel = jnp.where(pv & (d <= thr), one, zero)  # (Q, C)
+
+    def put(ref, col):
+        ref[...] = jnp.swapaxes(col, 0, 1)[None]  # (Q, 1) -> (1, 1, Q)
+
+    wx = sel * px
+    wy = sel * py
+    wz = sel * pz
+    put(cnt_ref, jnp.sum(sel, axis=1, keepdims=True))
+    put(sx_ref, jnp.sum(wx, axis=1, keepdims=True))
+    put(sy_ref, jnp.sum(wy, axis=1, keepdims=True))
+    put(sz_ref, jnp.sum(wz, axis=1, keepdims=True))
+    put(sxx_ref, jnp.sum(wx * px, axis=1, keepdims=True))
+    put(sxy_ref, jnp.sum(wx * py, axis=1, keepdims=True))
+    put(sxz_ref, jnp.sum(wx * pz, axis=1, keepdims=True))
+    put(syy_ref, jnp.sum(wy * py, axis=1, keepdims=True))
+    put(syz_ref, jnp.sum(wy * pz, axis=1, keepdims=True))
+    put(szz_ref, jnp.sum(wz * pz, axis=1, keepdims=True))
+
+
+def windowed_moment_sums(
+    centered: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    k: int,
+    window: int = 256,
+    q_block: int = 256,
+) -> tuple[jnp.ndarray, ...]:
+    """Per-point masked neighborhood moment sums over an index window.
+
+    Args:
+      centered: (b, n, 3) per-cloud-centered coordinates, ideally in a
+        spatially local order (Morton / voxel-sorted). n % 128 == 0.
+      valid_mask: (b, n) bool.
+      k: target neighborhood size (the threshold search's count goal).
+      window: one-sided candidate half-width W (multiple of 128); each
+        query sees C = q_block + 2W candidates.
+      q_block: queries per program (multiple of 128, divides n).
+
+    Returns 10 (b, n) f32 arrays:
+      (cnt, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz).
+    """
+    b, n = centered.shape[:2]
+    if n % q_block or q_block % 128 or window % 128:
+        raise ValueError(
+            f"windowed_moment_sums needs n % q_block == 0 and 128-aligned "
+            f"q_block/window; got n={n} q_block={q_block} window={window}"
+        )
+    c = q_block + 2 * window
+    if c > n:
+        raise ValueError(
+            f"candidate window {c} exceeds cloud size {n}; shrink `window`"
+        )
+    # unit middle axis: Mosaic wants block sublane dims 8-divisible or equal
+    # to the array dim; (b, 1, n) arrays with (1, 1, n) blocks satisfy it
+    planes = jnp.moveaxis(centered.astype(jnp.float32), -1, 0)[:, :, None, :]
+    validf = valid_mask.astype(jnp.float32)[:, None, :]
+
+    row_spec = pl.BlockSpec(
+        (1, 1, n), lambda ib, iq: (ib, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, q_block), lambda ib, iq: (ib, 0, iq), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((b, 1, n), jnp.float32)
+    kernel = functools.partial(
+        _window_kernel, q_block=q_block, window=window, k=k
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, n // q_block),
+        in_specs=[row_spec] * 4,
+        out_specs=(out_spec,) * 10,
+        out_shape=(out_shape,) * 10,
+        interpret=_interpret(),
+    )(planes[0], planes[1], planes[2], validf)
+    return tuple(o[:, 0, :] for o in outs)

@@ -7,8 +7,10 @@ point tensors"); the reference itself only truncates/repeat-samples
 
 Fixed-shape formulation: output has the same max length as the input plus a
 validity mask — data-dependent unique-voxel counts never leave the device.
-Pipeline: quantize -> packed lexicographic voxel key -> sort -> segment
-boundaries -> dense ranks -> segment reduce.
+Pipeline: quantize -> two-key Morton voxel code -> sort -> segment
+boundaries -> dense ranks -> segment reduce. The Morton order makes the
+output spatially local in index order, which the windowed normals kernel
+consumes directly (ops/pallas/window_normals.py).
 
 TPU-shaped implementation notes (measured on v5e, 256 x 2048 pts):
 
@@ -49,7 +51,8 @@ def voxel_downsample_batch(
     Returns:
       (out_points (b, n, 3), out_mask (b, n)) — out_mask[i] True for the
       first k rows, where k = number of occupied voxels; those rows hold the
-      voxel representatives (ordered by voxel key). Invalid tail rows are 0.
+      voxel representatives in Morton (Z-curve) order — spatially local in
+      index order. Invalid tail rows are 0.
     """
     if reduction not in ("centroid", "first"):
         raise ValueError(f"Unknown reduction {reduction!r}")
@@ -59,21 +62,26 @@ def voxel_downsample_batch(
 
     coords = jnp.floor(points / voxel_size).astype(jnp.int32)
     big = jnp.iinfo(jnp.int32).max
-    # Two-key lexicographic sort on per-cloud-min-offset coords (non-negative
-    # keys). Minor key packs (y, z) into one int32 (15 bits each — exact for
-    # grid extents < 32768 voxels per axis, i.e. any real scan); major key is
-    # x with invalid rows pushed to +inf so valid points sort first, grouped
-    # by voxel. The sort is stable, so ties keep ascending original index.
+    # Two-key MORTON sort on per-cloud-min-offset coords (non-negative
+    # keys, 15 bits per axis — exact for grid extents < 32768 voxels per
+    # axis, i.e. any real scan). Equal coords still map to equal keys (the
+    # voxel-grouping requirement), and the Z-curve order additionally gives
+    # the output SPATIAL LOCALITY in index order, which the windowed
+    # normals kernel (ops/pallas/window_normals.py) exploits downstream.
+    # Invalid rows get hi = +inf so valid points sort first; the sort is
+    # stable, so ties keep ascending original index.
+    from pointcloudprocessing_tpu.ops.morton import morton_keys_3d
+
     rel = coords - jnp.min(
         jnp.where(valid_mask[..., None], coords, big), axis=1, keepdims=True
     )
-    yz = jnp.clip(rel[..., 1], 0, 32767) * 32768 + jnp.clip(rel[..., 2], 0, 32767)
-    major = jnp.where(valid_mask, rel[..., 0], big)
+    hi, lo = morton_keys_3d(rel[..., 0], rel[..., 1], rel[..., 2])
+    hi = jnp.where(valid_mask, hi, big)
     # ONE variadic sort carries every payload through the sorting network —
     # a separate argsort + take_along_axis permutation costs ~4 ms per gather
     # on TPU (row gathers serialize), ~3x the sort itself
     (_, _, sx, sy, sz, sv) = jax.lax.sort(
-        (major, yz, points[..., 0], points[..., 1], points[..., 2],
+        (hi, lo, points[..., 0], points[..., 1], points[..., 2],
          valid_mask.astype(jnp.int32)),
         dimension=-1,
         is_stable=True,

@@ -301,3 +301,103 @@ def test_normals_far_from_origin(rng):
                          viewpoint=jnp.array([100.0, 100.0, 200.0]))
     )
     np.testing.assert_allclose(normals[:, 2], 1.0, atol=1e-3)
+
+
+# -- morton keys + windowed normals ------------------------------------------
+
+def test_morton_keys_match_numpy_reference(rng):
+    """(hi, lo) two-key order must equal the interleaved-bit Z-order
+    computed the slow way in python ints."""
+    from pointcloudprocessing_tpu.ops.morton import morton_keys_3d
+
+    coords = rng.integers(0, 32768, (256, 3)).astype(np.int32)
+    hi, lo = morton_keys_3d(
+        jnp.asarray(coords[:, 0]), jnp.asarray(coords[:, 1]), jnp.asarray(coords[:, 2])
+    )
+    keys = np.asarray(hi).astype(np.int64) * (1 << 30) + np.asarray(lo)
+
+    def slow_morton(x, y, z):
+        out = 0
+        for i in range(15):
+            out |= ((x >> i) & 1) << (3 * i + 2)
+            out |= ((y >> i) & 1) << (3 * i + 1)
+            out |= ((z >> i) & 1) << (3 * i)
+        return out
+
+    want = np.array([slow_morton(*c) for c in coords.tolist()], np.int64)
+    np.testing.assert_array_equal(np.argsort(keys, kind="stable"),
+                                  np.argsort(want, kind="stable"))
+    # equal coords -> equal keys (voxel grouping requirement)
+    hi2, lo2 = morton_keys_3d(
+        jnp.asarray(coords[:1].repeat(4, 0)[:, 0]),
+        jnp.asarray(coords[:1].repeat(4, 0)[:, 1]),
+        jnp.asarray(coords[:1].repeat(4, 0)[:, 2]),
+    )
+    assert len(set(np.asarray(hi2).tolist())) == 1
+    assert len(set(np.asarray(lo2).tolist())) == 1
+
+
+def test_voxel_output_is_morton_ordered(rng):
+    """Voxel output order must follow the Z-curve: consecutive rows should
+    be spatially close (the windowed-normals contract)."""
+    from pointcloudprocessing_tpu.ops.morton import morton_keys_3d
+
+    pts = jnp.asarray(rng.uniform(-20, 20, (1, 2048, 3)).astype(np.float32))
+    out, mask = voxel_downsample_batch(pts, 1.0)
+    k = int(mask.sum())
+    got = np.asarray(out[0, :k])
+    coords = np.floor(got / 1.0).astype(np.int64)
+    rel = coords - coords.min(axis=0)
+    hi, lo = morton_keys_3d(
+        jnp.asarray(rel[:, 0]), jnp.asarray(rel[:, 1]), jnp.asarray(rel[:, 2])
+    )
+    keys = np.asarray(hi).astype(np.int64) * (1 << 30) + np.asarray(lo)
+    assert (np.diff(keys) > 0).all()  # strictly ascending (one row per voxel)
+
+
+def test_normals_window_matches_exact_on_surface(rng):
+    """The Pallas windowed path must agree with the exact brute-force path
+    on Morton-ordered surface data (the intended producer: voxel output)."""
+    from pointcloudprocessing_tpu.ops import estimate_normals_batch
+
+    xy = rng.uniform(-10, 10, (2, 2048, 2)).astype(np.float32)
+    z = 0.05 * (xy[..., 0] ** 2 + xy[..., 1] ** 2)
+    pts = np.concatenate([xy, z[..., None]], axis=-1).astype(np.float32)
+    pts += np.array([50.0, -30.0, 5.0], np.float32)  # f32 cancellation stress
+    vox, mask = voxel_downsample_batch(jnp.asarray(pts), 0.5)
+    vp = jnp.asarray(np.array([[50.0, -30.0, 500.0]] * 2, np.float32))
+
+    ne = np.asarray(estimate_normals_batch(vox, k=16, valid_mask=mask,
+                                           viewpoint=vp, method="exact"))
+    nw = np.asarray(estimate_normals_batch(vox, k=16, valid_mask=mask,
+                                           viewpoint=vp, method="window"))
+    m = np.asarray(mask)
+    ang = np.degrees(np.arccos(np.clip(np.abs(np.sum(ne * nw, -1)), 0, 1)[m]))
+    assert np.median(ang) < 1.0
+    assert np.percentile(ang, 95) < 5.0
+
+
+def test_normals_window_edge_cases(rng):
+    from pointcloudprocessing_tpu.ops import estimate_normals_batch
+
+    # fewer valid points than k: finite output, no garbage from padding
+    pts = np.zeros((1, 256, 3), np.float32)
+    pts[0, :5, :2] = rng.uniform(-1, 1, (5, 2))
+    pts[0, 5:] = 1e6  # garbage padding rows
+    mask = jnp.zeros((1, 256), bool).at[:, :5].set(True)
+    out = np.asarray(
+        estimate_normals_batch(jnp.asarray(pts), k=16, valid_mask=mask,
+                               method="window")
+    )
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(np.abs(out[0, :5, 2]), 1.0, atol=1e-3)
+
+    # non-128-multiple n pads internally and crops back
+    odd = jnp.asarray(rng.normal(size=(1, 490, 3)).astype(np.float32))
+    out2 = estimate_normals_batch(odd, k=8, method="window")
+    assert out2.shape == (1, 490, 3)
+    assert np.isfinite(np.asarray(out2)).all()
+
+    # single-cloud entry point
+    single = estimate_normals(jnp.asarray(pts[0]), k=4, method="window")
+    assert single.shape == (256, 3)
