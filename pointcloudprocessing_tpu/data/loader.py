@@ -184,6 +184,9 @@ class StreamingLoader:
     The windowed shuffle swaps whole chunks against distinct random buffer
     slots (lossless; every record is emitted exactly once per epoch) rather
     than tf.data's per-record swap — same window locality, vectorized.
+
+    Seeded loaders are epoch-addressable through ``batches(epoch=k)`` —
+    bit-exact replay for mid-stage resume (see :meth:`batches`).
     """
 
     def __init__(
@@ -277,11 +280,12 @@ class StreamingLoader:
             next_offset,
         )
 
-    def _interleaved_chunks(self):
-        """Infinite chunk stream: per epoch, shuffle file order and round-robin
-        ``interleave`` concurrently-open files."""
+    def _interleaved_chunks(self, rng, single_epoch: bool = False):
+        """Chunk stream: per epoch, shuffle file order and round-robin
+        ``interleave`` concurrently-open files. Infinite unless
+        ``single_epoch`` (the epoch-addressable mode)."""
         while True:
-            order = self._rng.permutation(len(self._files))
+            order = rng.permutation(len(self._files))
             pending = [self._files[i] for i in order]
             open_files: list[list] = []  # [path, offset]
             while pending or open_files:
@@ -297,8 +301,10 @@ class StreamingLoader:
                         advanced.append(entry)
                 open_files = advanced
             yield None  # epoch boundary marker
+            if single_epoch:
+                return
 
-    def _examples(self):
+    def _examples(self, rng, single_epoch: bool = False):
         """Windowed-shuffle example stream (obs, cls, part, se3 batches of
         irregular size; epoch boundaries flush the buffer)."""
         w, width = self._window, self._width
@@ -308,10 +314,10 @@ class StreamingLoader:
         buf_se3 = np.zeros((w, 3, 3), np.float32)
         filled = 0
 
-        for chunk in self._interleaved_chunks():
+        for chunk in self._interleaved_chunks(rng, single_epoch):
             if chunk is None:
                 # epoch boundary: flush the buffer in random order
-                order = self._rng.permutation(filled)
+                order = rng.permutation(filled)
                 if filled:
                     yield (
                         buf_obs[order], buf_cls[order],
@@ -335,7 +341,7 @@ class StreamingLoader:
                 else:
                     # buffer full: swap against distinct random slots
                     take = min(m - start, w)
-                    slots = self._rng.choice(w, size=take, replace=False)
+                    slots = rng.choice(w, size=take, replace=False)
                     yield (
                         buf_obs[slots].copy(), buf_cls[slots].copy(),
                         buf_parts[slots].copy(), buf_se3[slots].copy(),
@@ -346,7 +352,7 @@ class StreamingLoader:
                     buf_se3[slots] = se3[start:start + take]
                 start += take
 
-    def _host_batches(self):
+    def _host_batches(self, rng, single_epoch: bool = False):
         """Assemble fixed-size batches from the example stream."""
         b, width = self._batch_size, self._width
         acc_obs = np.zeros((b, width, 3), np.float32)
@@ -354,7 +360,7 @@ class StreamingLoader:
         acc_parts = np.zeros((b, width), np.int32)
         acc_se3 = np.zeros((b, 3, 3), np.float32)
         n = 0
-        for obs, cls, parts, se3 in self._examples():
+        for obs, cls, parts, se3 in self._examples(rng, single_epoch):
             start = 0
             while start < len(cls):
                 room = b - n
@@ -385,13 +391,26 @@ class StreamingLoader:
     ):
         """Iterate device-resident batches with background prefetch.
 
-        ``epoch`` is accepted for interface parity with DeviceLoader but the
-        windowed-shuffle stream is not epoch-addressable: a resumed run sees
-        an equally-shuffled but not bit-identical batch order.
+        With a seeded loader and an ``epoch`` index, the stream is
+        EPOCH-ADDRESSABLE: epoch k's batch sequence depends only on
+        (files, seed, k) — file order, windowed-shuffle swaps, and the
+        boundary flush all draw from ``default_rng((seed, k))``, and the
+        batch accumulator starts fresh — so a resumed run replays the exact
+        batch order of an uninterrupted one (mid-stage resume, matching
+        DeviceLoader). The tail ``count % batch_size`` records of each epoch
+        are dropped in this mode (tf.data ``drop_remainder`` semantics).
+
+        Unseeded (or ``epoch=None``) keeps the reference's persistent
+        repeat-stream behavior: batches straddle epoch boundaries and no
+        record is ever dropped.
         """
-        del epoch
         if not self._files or self._count == 0:
             return
-        if self._stream is None:
-            self._stream = self._host_batches()
-        yield from _prefetch_to_device(self._stream, num_steps, device, prefetch)
+        if epoch is not None and self._seed is not None:
+            rng = np.random.default_rng((self._seed, epoch))
+            stream = self._host_batches(rng, single_epoch=True)
+        else:
+            if self._stream is None:
+                self._stream = self._host_batches(self._rng)
+            stream = self._stream
+        yield from _prefetch_to_device(stream, num_steps, device, prefetch)

@@ -23,6 +23,8 @@ from pointcloudprocessing_tpu.synthesis import (
     write_collect,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute e2e: opt out with -m "not slow"
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIG_DIR = os.path.join(REPO, "configs", "class_test")
 

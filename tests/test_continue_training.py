@@ -10,6 +10,8 @@ import pytest
 from helpers import make_collect, CLASS_LABELS, PART_LABELS
 from test_train_profile import make_config
 
+pytestmark = pytest.mark.slow  # multi-minute e2e: opt out with -m "not slow"
+
 WIDTH = 32
 
 

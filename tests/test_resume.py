@@ -16,6 +16,8 @@ import pytest
 
 from test_train_profile import make_config
 
+pytestmark = pytest.mark.slow  # multi-minute e2e: opt out with -m "not slow"
+
 EPOCHS = 6
 KILL_AFTER = 3
 

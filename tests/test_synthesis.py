@@ -162,6 +162,7 @@ def test_load_off_parses_and_samples(tmp_path):
     assert (pts[:, 2] == 0).all()  # unit square in z=0
 
 
+@pytest.mark.slow
 def test_modelnet_example_fallback(tmp_path, monkeypatch):
     """The public-dataset walkthrough runs end to end on the procedural
     fallback and learns above chance."""

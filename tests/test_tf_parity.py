@@ -38,10 +38,10 @@ def _import_reference_pointnet():
 
 
 tf = pytest.importorskip("tensorflow")
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not __import__("os").path.isdir(REFERENCE_DIR),
     reason="reference tree not available",
-)
+)]
 
 B, N, C, P = 2, 128, 23, 12
 

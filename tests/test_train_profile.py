@@ -8,6 +8,8 @@ import pytest
 
 from helpers import make_collect, CLASS_LABELS, PART_LABELS
 
+pytestmark = pytest.mark.slow  # multi-minute e2e: opt out with -m "not slow"
+
 WIDTH = 32
 
 
