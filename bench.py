@@ -45,16 +45,22 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _chain_time(fn, x0, steps: int) -> float:
-    """Seconds/step for chained fn: x -> x (compiled outside)."""
+def _chain_time(fn, x0, steps: int, reps: int = 3) -> float:
+    """Seconds/step for chained fn: x -> x (compiled outside).
+
+    MEDIAN over ``reps`` timed chains — single chains through the async
+    tunnel vary ±30% run to run (TODO.md), medians are stable to a few %."""
     x = fn(x0)
     _ = float(x.ravel()[0])  # compile + sync
-    x = x0
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        x = fn(x)
-    _ = float(x.ravel()[0])
-    return (time.perf_counter() - t0) / steps
+    per_step = []
+    for _ in range(reps):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            x = fn(x)
+        _ = float(x.ravel()[0])
+        per_step.append((time.perf_counter() - t0) / steps)
+    return float(np.median(per_step))
 
 
 def _tie(out_tree, x):
@@ -198,12 +204,14 @@ def bench_train_step(
 
     state, logs = train_step(state, x, targets, key)  # compile
     _ = float(logs["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, logs = train_step(state, x, targets, key)
-    _ = float(logs["loss"])  # loss depends on params -> syncs the chain
-    dt = (time.perf_counter() - t0) / steps
-    return batch / dt
+    per_step = []
+    for _ in range(3):  # median-of-3: tunnel timing varies +-30% per chain
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, logs = train_step(state, x, targets, key)
+        _ = float(logs["loss"])  # loss depends on params -> syncs the chain
+        per_step.append((time.perf_counter() - t0) / steps)
+    return batch / float(np.median(per_step))
 
 
 def bench_train_multi_step(
@@ -239,12 +247,14 @@ def bench_train_multi_step(
 
     state, logs = multi(state, xs, targets, key)  # compile
     _ = float(logs["loss"][-1])
-    t0 = time.perf_counter()
-    for _ in range(rounds):
-        state, logs = multi(state, xs, targets, key)
-    _ = float(logs["loss"][-1])
-    dt = (time.perf_counter() - t0) / (rounds * chunk)
-    return batch / dt
+    per_step = []
+    for _ in range(3):  # median-of-3 chains (tunnel noise); one sync per chain
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            state, logs = multi(state, xs, targets, key)
+        _ = float(logs["loss"][-1])  # param-dependent -> syncs the chain
+        per_step.append((time.perf_counter() - t0) / (rounds * chunk))
+    return batch / float(np.median(per_step))
 
 
 def bench_e2e_pipeline(batch: int = 256, width_in: int = 2048, width_out: int = 1024,

@@ -16,7 +16,11 @@ from pointcloudprocessing_tpu.ops.normals import (
     estimate_normals,
     estimate_normals_batch,
 )
-from pointcloudprocessing_tpu.ops.hpr import hidden_point_removal, spherical_flip
+from pointcloudprocessing_tpu.ops.hpr import (
+    hidden_point_removal,
+    hidden_point_removal_mask,
+    spherical_flip,
+)
 from pointcloudprocessing_tpu.ops.icp import icp
 
 __all__ = [
@@ -36,6 +40,7 @@ __all__ = [
     "estimate_normals",
     "estimate_normals_batch",
     "hidden_point_removal",
+    "hidden_point_removal_mask",
     "spherical_flip",
     "icp",
 ]

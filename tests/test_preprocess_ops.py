@@ -401,3 +401,45 @@ def test_normals_window_edge_cases(rng):
     # single-cloud entry point
     single = estimate_normals(jnp.asarray(pts[0]), k=4, method="window")
     assert single.shape == (256, 3)
+
+
+# -- on-device hidden point removal ------------------------------------------
+
+def test_hpr_mask_sphere(rng):
+    """Front hemisphere visible, back hemisphere occluded — matching the
+    host hull version's quality bars, but fixed-shape and jit-safe."""
+    from pointcloudprocessing_tpu.ops import hidden_point_removal_mask
+
+    v = rng.normal(size=(2000, 3))
+    pts = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+    camera = jnp.asarray(np.array([10.0, 0.0, 0.0], np.float32))
+    vis = np.asarray(
+        jax.jit(lambda p, c: hidden_point_removal_mask(p, c))(
+            jnp.asarray(pts), camera
+        )
+    )
+    front = pts[:, 0] > 0.3
+    back = pts[:, 0] < -0.3
+    assert vis[front].mean() > 0.9
+    assert vis[back].mean() < 0.01
+
+    # agreement with the Katz hull formulation
+    hull_vis = np.zeros(len(pts), bool)
+    hull_vis[hidden_point_removal(pts, np.asarray(camera))] = True
+    assert (vis == hull_vis).mean() > 0.85
+
+
+def test_hpr_mask_batched_and_valid(rng):
+    from pointcloudprocessing_tpu.ops import hidden_point_removal_mask
+
+    v = rng.normal(size=(2, 512, 3))
+    pts = (v / np.linalg.norm(v, axis=-1, keepdims=True)).astype(np.float32)
+    pts[:, 500:] = 1e6  # garbage padding rows
+    valid = jnp.ones((2, 512), bool).at[:, 500:].set(False)
+    cams = jnp.asarray(np.array([[10.0, 0, 0], [0, 10.0, 0]], np.float32))
+    vis = np.asarray(hidden_point_removal_mask(jnp.asarray(pts), cams, valid))
+    assert vis.shape == (2, 512)
+    assert not vis[:, 500:].any()  # invalid rows never visible
+    # occlusion direction tracks each cloud's own camera
+    assert vis[0][pts[0, :, 0] > 0.3].mean() > 0.9
+    assert vis[1][pts[1, :, 1] > 0.3].mean() > 0.9
