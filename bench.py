@@ -68,7 +68,8 @@ def _tie(out_tree, x):
     return x + total * 1e-24
 
 
-def bench_infer(batch_size: int, width: int, precision: str, steps: int = 20) -> float:
+def bench_infer(batch_size: int, width: int, precision: str, steps: int = 20,
+                heads=("classification_output", "segmentation_output", "se3")) -> float:
     model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)
     pts = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch_size, width, 3)).astype(np.float32)
@@ -78,11 +79,19 @@ def bench_infer(batch_size: int, width: int, precision: str, steps: int = 20) ->
     @jax.jit
     def step(points):
         with jax.default_matmul_precision(precision):
-            out = model.apply(variables, points, train=False)
+            out = model.apply(variables, points, train=False, heads=heads)
         return _tie(out, points)
 
     dt = _chain_time(step, pts, steps)
     return batch_size / dt
+
+
+def bench_infer_cls_only(batch_size: int = 2048, width: int = 1024) -> float:
+    """Classification-only serving (heads subsetting skips the seg head,
+    ~80% of the FLOPs) — the BASELINE config-1 workload is 'PointNet
+    classification'; the headline metric stays the full multi-head model."""
+    return bench_infer(batch_size, width, "default",
+                       heads=("classification_output", "se3"))
 
 
 def bench_latency_p50(width: int = 1024, steps: int = 50) -> float:
@@ -319,6 +328,7 @@ def main() -> None:
     for name, fn in [
         ("latency_p50_ms (tunnel upper bound)", bench_latency_p50),
         ("latency_on_device_ms", bench_latency_on_device),
+        ("infer_cls_only_clouds_per_s", bench_infer_cls_only),
         ("preprocess_Mpts_per_s", bench_preprocess),
         ("train_clouds_per_s_b32", bench_train_step),
         ("train_bf16_clouds_per_s_b32", lambda: bench_train_step(dtype=jnp.bfloat16)),

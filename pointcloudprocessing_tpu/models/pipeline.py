@@ -39,6 +39,9 @@ class PointCloudPipeline:
         model_width: int,
         voxel_size: float | None = None,
         use_fps: bool = True,
+        heads: tuple[str, ...] = (
+            "classification_output", "segmentation_output", "se3",
+        ),
     ):
         """Args:
         scan_width: fixed input scan size (pad/truncate host-side).
@@ -46,6 +49,8 @@ class PointCloudPipeline:
         voxel_size: optional voxel downsample edge before sampling.
         use_fps: farthest-point sampling to model_width (False = head
           truncation of the voxel output — much faster, less uniform).
+        heads: model outputs to compute; dropping "segmentation_output"
+          skips ~80% of the network's FLOPs for classification-only serving.
         """
         self.scan_width = scan_width
         self.model_width = model_width
@@ -67,8 +72,9 @@ class PointCloudPipeline:
                 )
             else:
                 sampled = points[:, :model_width]
-            return model.apply(variables, sampled, train=False)
+            return model.apply(variables, sampled, train=False, heads=tuple(heads))
 
+        self.heads = tuple(heads)
         self._run = jax.jit(run)
 
     def __call__(self, scans) -> dict[str, jnp.ndarray]:

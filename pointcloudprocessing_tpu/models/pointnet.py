@@ -109,8 +109,20 @@ class PointNet(nn.Module):
         *,
         train: bool = False,
         freeze: FreezeFlags = NOTHING_FROZEN,
+        heads: tuple[str, ...] = (
+            "classification_output", "segmentation_output", "se3",
+        ),
     ) -> dict[str, jnp.ndarray]:
-        """points: (b, n, 3) -> dict of the three heads' outputs."""
+        """points: (b, n, 3) -> dict of the requested heads' outputs.
+
+        ``heads`` subsets the output dict AND the compute: the segmentation
+        head is ~80% of inference FLOPs (512/256/128/128-wide per-point
+        convs, reference PointNet.py:268-290), so classification-only
+        serving skips it entirely. Initialize variables with the default
+        (all heads) so the full parameter tree exists; ``apply`` with a
+        subset simply leaves the unused parameters untouched. Training
+        always uses all heads (the reference's 3-loss objective).
+        """
         # Input normalization (PointNet.py:202) — weightless, fused into the
         # same XLA program rather than a separate layer.
         pc, _ = normalize_unit_sphere(points)
@@ -167,44 +179,48 @@ class PointNet(nn.Module):
             1024, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_2_3"
         )(x, train=train, frozen=freeze.shared_network)  # (b, 1024)
 
-        # Classification head (PointNet.py:252-263).
-        x_cls = DenseBlock(
-            512, apply_bn=True, bn_momentum=self.bn_momentum, activation="relu",
-            dtype=self.dtype, name="mlp_cls_1",
-        )(global_features, train=train, frozen=freeze.classification_head)
-        x_cls = nn.Dropout(self.dropout_rate, deterministic=not train, name="dropout_1")(x_cls)
-        x_cls = DenseBlock(
-            256, apply_bn=True, bn_momentum=self.bn_momentum, activation="relu",
-            dtype=self.dtype, name="mlp_cls_2",
-        )(x_cls, train=train, frozen=freeze.classification_head)
-        x_cls = nn.Dropout(self.dropout_rate, deterministic=not train, name="dropout_2")(x_cls)
-        x_cls = DenseBlock(
-            self.num_classes, apply_bn=False, activation="softmax", name="mlp_cls_3",
-        )(x_cls.astype(jnp.float32), train=train, frozen=freeze.classification_head)
+        outputs: dict[str, jnp.ndarray] = {}
+        if "se3" in heads:
+            outputs["se3"] = r
 
-        # Segmentation head on [per-point 64-d ++ tiled global 1024-d]
-        # (PointNet.py:268-290). The concat is virtual: the first seg layer's
-        # 1088-wide kernel splits into a 64-wide per-point matmul plus a
-        # per-cloud contribution (ConcatPointwiseBlock) — ~1.8x fewer model
-        # FLOPs with an identical parameter tree.
-        x_seg = ConcatPointwiseBlock(
-            512, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_1"
-        )(x_64, global_features, train=train, frozen=freeze.segmentation_head)
-        x_seg = PointwiseBlock(256, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_2")(
-            x_seg, train=train, frozen=freeze.segmentation_head
-        )
-        x_seg = PointwiseBlock(128, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_3")(
-            x_seg, train=train, frozen=freeze.segmentation_head
-        )
-        x_seg = PointwiseBlock(128, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_4")(
-            x_seg, train=train, frozen=freeze.segmentation_head
-        )
-        x_seg = PointwiseBlock(
-            self.num_parts, apply_bn=False, activation="softmax", name="mlp_seg_5",
-        )(x_seg.astype(jnp.float32), train=train, frozen=freeze.segmentation_head)
+        if "classification_output" in heads:
+            # Classification head (PointNet.py:252-263).
+            x_cls = DenseBlock(
+                512, apply_bn=True, bn_momentum=self.bn_momentum, activation="relu",
+                dtype=self.dtype, name="mlp_cls_1",
+            )(global_features, train=train, frozen=freeze.classification_head)
+            x_cls = nn.Dropout(self.dropout_rate, deterministic=not train, name="dropout_1")(x_cls)
+            x_cls = DenseBlock(
+                256, apply_bn=True, bn_momentum=self.bn_momentum, activation="relu",
+                dtype=self.dtype, name="mlp_cls_2",
+            )(x_cls, train=train, frozen=freeze.classification_head)
+            x_cls = nn.Dropout(self.dropout_rate, deterministic=not train, name="dropout_2")(x_cls)
+            x_cls = DenseBlock(
+                self.num_classes, apply_bn=False, activation="softmax", name="mlp_cls_3",
+            )(x_cls.astype(jnp.float32), train=train, frozen=freeze.classification_head)
+            outputs["classification_output"] = x_cls
 
-        return {
-            "classification_output": x_cls,
-            "segmentation_output": x_seg,
-            "se3": r,
-        }
+        if "segmentation_output" in heads:
+            # Segmentation head on [per-point 64-d ++ tiled global 1024-d]
+            # (PointNet.py:268-290). The concat is virtual: the first seg
+            # layer's 1088-wide kernel splits into a 64-wide per-point matmul
+            # plus a per-cloud contribution (ConcatPointwiseBlock) — ~1.8x
+            # fewer model FLOPs with an identical parameter tree.
+            x_seg = ConcatPointwiseBlock(
+                512, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_1"
+            )(x_64, global_features, train=train, frozen=freeze.segmentation_head)
+            x_seg = PointwiseBlock(256, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_2")(
+                x_seg, train=train, frozen=freeze.segmentation_head
+            )
+            x_seg = PointwiseBlock(128, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_3")(
+                x_seg, train=train, frozen=freeze.segmentation_head
+            )
+            x_seg = PointwiseBlock(128, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_seg_4")(
+                x_seg, train=train, frozen=freeze.segmentation_head
+            )
+            x_seg = PointwiseBlock(
+                self.num_parts, apply_bn=False, activation="softmax", name="mlp_seg_5",
+            )(x_seg.astype(jnp.float32), train=train, frozen=freeze.segmentation_head)
+            outputs["segmentation_output"] = x_seg
+
+        return outputs

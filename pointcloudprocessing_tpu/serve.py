@@ -104,6 +104,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="optional voxel downsample before sampling")
     parser.add_argument("--no-fps", action="store_true",
                         help="head-truncate instead of farthest-point sampling")
+    parser.add_argument("--heads", default="classification,segmentation,se3",
+                        help="comma list of model heads to compute; dropping "
+                             "'segmentation' skips ~80%% of inference FLOPs")
     args = parser.parse_args(argv)
 
     paths = _frame_paths(args.input)
@@ -125,6 +128,15 @@ def main(argv: list[str] | None = None) -> int:
         num_classes=cfg.num_classes, num_parts=cfg.num_parts, vanilla=cfg.vanilla,
         regularize_input_transform=False, regularize_feature_transform=False,
     )
+    alias = {"classification": "classification_output",
+             "segmentation": "segmentation_output", "se3": "se3"}
+    try:
+        heads = tuple(alias[h.strip()] for h in args.heads.split(",") if h.strip())
+    except KeyError as e:
+        print(f"Unknown head {e.args[0]!r}; valid: {', '.join(alias)}",
+              file=sys.stderr)
+        return 2
+
     pipe = PointCloudPipeline(
         model,
         {"params": payload["params"], "batch_stats": payload["batch_stats"]},
@@ -132,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
         model_width=model_width,
         voxel_size=args.voxel_size,
         use_fps=not args.no_fps,
+        heads=heads,
     )
 
     class_map = {c: i for i, c in enumerate(cfg.class_labels)}
@@ -153,20 +166,25 @@ def main(argv: list[str] | None = None) -> int:
 
         for i, outputs in enumerate(pipe.stream(scans_iter())):
             names = names_per_batch[i]
-            cls = np.argmax(np.asarray(outputs["classification_output"]), -1)
-            seg = np.argmax(np.asarray(outputs["segmentation_output"]), -1)
-            se3 = np.asarray(outputs["se3"])
+            cls = seg = se3 = None
+            if "classification_output" in outputs:
+                cls = np.argmax(np.asarray(outputs["classification_output"]), -1)
+            if "segmentation_output" in outputs:
+                seg = np.argmax(np.asarray(outputs["segmentation_output"]), -1)
+            if "se3" in outputs:
+                se3 = np.asarray(outputs["se3"])
             for j, name in enumerate(names):
-                part_ids, part_counts = np.unique(seg[j], return_counts=True)
-                record = {
-                    "frame": name,
-                    "class": cfg.class_labels[int(cls[j])],
-                    "part_counts": {
+                record = {"frame": name}
+                if cls is not None:
+                    record["class"] = cfg.class_labels[int(cls[j])]
+                if seg is not None:
+                    part_ids, part_counts = np.unique(seg[j], return_counts=True)
+                    record["part_counts"] = {
                         cfg.part_labels[int(p)]: int(c)
                         for p, c in zip(part_ids, part_counts)
-                    },
-                    "se3": se3[j].round(6).tolist(),
-                }
+                    }
+                if se3 is not None:
+                    record["se3"] = se3[j].round(6).tolist()
                 out.write(json.dumps(record) + "\n")
                 served += 1
     finally:

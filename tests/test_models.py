@@ -228,3 +228,34 @@ def test_param_count_full_model():
     # ~4.2M trainable params (the TF-vs-flax parity test asserts the exact
     # per-layer shape match; SURVEY §6's "~3.5M" was a rough derivation).
     assert 3.0e6 < n_params < 5.0e6
+
+
+def test_heads_subset_matches_full():
+    """apply(heads=subset) must produce identical values to the full pass
+    (same params; the subset only skips unrequested compute)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pointcloudprocessing_tpu.models import PointNet
+
+    model = PointNet(num_classes=5, num_parts=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    full = model.apply(variables, x, train=False)
+    cls_only = model.apply(
+        variables, x, train=False, heads=("classification_output", "se3")
+    )
+    assert set(cls_only) == {"classification_output", "se3"}
+    np.testing.assert_array_equal(
+        np.asarray(cls_only["classification_output"]),
+        np.asarray(full["classification_output"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cls_only["se3"]), np.asarray(full["se3"])
+    )
+    seg_only = model.apply(variables, x, train=False, heads=("segmentation_output",))
+    assert set(seg_only) == {"segmentation_output"}
+    np.testing.assert_array_equal(
+        np.asarray(seg_only["segmentation_output"]),
+        np.asarray(full["segmentation_output"]),
+    )

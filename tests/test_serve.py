@@ -28,16 +28,44 @@ def served(tmp_path_factory):
         ["--model", model_dir, "--input", collect, "--output", out_path,
          "--batch", "4"]
     )
-    return rc, out_path
+    return rc, out_path, model_dir, collect, tmp_path
+
+
+def test_serve_cls_only_heads(served):
+    """--heads classification skips the seg head: records carry class but
+    no part_counts, and the run still exits cleanly."""
+    from pointcloudprocessing_tpu.serve import main as serve_main
+
+    rc, _, model_dir, collect, tmp_path = served
+    out_path = str(tmp_path / "pred_cls.jsonl")
+    rc = serve_main(
+        ["--model", model_dir, "--input", collect, "--output", out_path,
+         "--batch", "4", "--heads", "classification"]
+    )
+    assert rc == 0
+    records = [json.loads(l) for l in open(out_path)]
+    assert len(records) == 9
+    assert all("class" in r and "part_counts" not in r and "se3" not in r
+               for r in records)
+
+
+def test_serve_bad_head_rejected(served):
+    from pointcloudprocessing_tpu.serve import main as serve_main
+
+    rc, _, model_dir, collect, tmp_path = served
+    assert serve_main(
+        ["--model", model_dir, "--input", collect, "--output",
+         str(tmp_path / "x.jsonl"), "--heads", "bogus"]
+    ) == 2
 
 
 def test_serve_exit_code(served):
-    rc, _ = served
+    rc = served[0]
     assert rc == 0
 
 
 def test_serve_output_records(served):
-    _, out_path = served
+    out_path = served[1]
     records = [json.loads(line) for line in open(out_path)]
     assert len(records) == 9  # one per frame, padding never emitted
     assert [r["frame"] for r in records] == [f"frame_{i}.txt" for i in range(9)]
