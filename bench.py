@@ -284,8 +284,25 @@ def bench_e2e_pipeline(batch: int = 256, width_in: int = 2048, width_out: int = 
         out = model.apply(variables, sampled, train=False)
         return _tie(out, x)
 
+    # full config-5 fidelity: normals ride the Morton-ordered voxel output
+    # (windowed Pallas kernel) BEFORE FPS (FPS's selection order has no
+    # spatial locality), and the model runs classification-only ('PointNet
+    # classify'); reported separately so e2e_pipeline stays comparable
+    # across rounds (same composition as BENCH_r01)
+    @jax.jit
+    def step_with_normals(x):
+        vox, mask = voxel_downsample_batch(x, 0.4)
+        normals = estimate_normals_batch(
+            vox, k=16, valid_mask=mask, method="window", window=128
+        )
+        _, sampled = farthest_point_sample_and_gather(vox, width_out, mask)
+        out = model.apply(variables, sampled, train=False,
+                          heads=("classification_output", "se3"))
+        return _tie((out, normals), x)
+
     dt = _chain_time(step, pts, steps)
-    return batch / dt
+    dt_n = _chain_time(step_with_normals, pts, steps)
+    return batch / dt, batch / dt_n
 
 
 def main() -> None:
@@ -336,12 +353,17 @@ def main() -> None:
         ("train_scan32_bf16_clouds_per_s_b32",
          lambda: bench_train_multi_step(dtype=jnp.bfloat16)),
         ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
-        ("e2e_pipeline_clouds_per_s", bench_e2e_pipeline),
     ]:
         try:
             log(f"[*] {name}: {fn():.4g}")
         except Exception as e:
             log(f"{name} failed: {type(e).__name__}: {e}")
+    try:
+        e2e, e2e_normals = bench_e2e_pipeline()
+        log(f"[*] e2e_pipeline_clouds_per_s: {e2e:.4g}")
+        log(f"[*] e2e_with_normals_clouds_per_s: {e2e_normals:.4g}")
+    except Exception as e:
+        log(f"e2e_pipeline failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -92,7 +92,12 @@ def farthest_point_sample_batch(
 
     if method == "distmat":
         sq = jnp.sum(points * points, axis=-1)
-        gram = jnp.einsum("bnd,bmd->bnm", points, points)
+        # HIGHEST: the |p|^2 expansion cancels catastrophically under TPU's
+        # default single-bf16-pass matmul (see ops/knn.pairwise_sq_dists)
+        gram = jnp.einsum(
+            "bnd,bmd->bnm", points, points,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         dist = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
 
         def step(min_dist, last):
@@ -132,6 +137,7 @@ def farthest_point_sample_and_gather(
     num_samples: int,
     valid_mask: jnp.ndarray | None = None,
     start_index: int = 0,
+    chains: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """FPS returning (indices (b, k), sampled points (b, k, 3)).
 
@@ -139,10 +145,23 @@ def farthest_point_sample_and_gather(
     extracts them every iteration anyway); a post-hoc ``take_along_axis``
     row gather costs ~10 ms/batch at 256x2048 — more than the sampling
     itself. Other backends fall back to indices + gather.
+
+    ``chains > 1`` runs BLOCKED FPS: each cloud splits into ``chains``
+    stride-striped subsets sampled independently and concurrently, cutting
+    the serial selection loop (FPS's whole cost) by ``chains`` for the same
+    total element work. On spatially ordered input (the Morton-ordered
+    voxel output) each stride subset is a stratified sample of the cloud,
+    so the union of per-subset FPS selections is nearly as well spread as
+    exact FPS (covering-radius test in test_preprocess_ops.py). Exact FPS
+    remains the default. Use only when every cloud has far more valid
+    points than ``num_samples`` — a subset with no valid points would
+    contribute padding rows.
     """
     b, n = points.shape[:2]
     if valid_mask is None:
         valid_mask = jnp.ones((b, n), bool)
+    if chains > 1:
+        return _blocked_fps_and_gather(points, num_samples, valid_mask, chains)
     if (
         jax.default_backend() in ("tpu", "axon")
         and n <= 16384
@@ -154,6 +173,30 @@ def farthest_point_sample_and_gather(
         return fps_pallas_with_points(points, num_samples, valid_mask, start)
     idx = farthest_point_sample_batch(points, num_samples, valid_mask, start_index)
     sampled = jnp.take_along_axis(points, idx[..., None], axis=1)
+    return idx, sampled
+
+
+def _blocked_fps_and_gather(
+    points: jnp.ndarray, num_samples: int, valid_mask: jnp.ndarray, chains: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    b, n = points.shape[:2]
+    if n % chains or num_samples % chains:
+        raise ValueError(
+            f"blocked FPS needs chains ({chains}) dividing both n ({n}) and "
+            f"num_samples ({num_samples})"
+        )
+    m, k = n // chains, num_samples // chains
+    # subset c owns original indices j with j % chains == c
+    p_r = jnp.moveaxis(points.reshape(b, m, chains, 3), 2, 1).reshape(
+        b * chains, m, 3
+    )
+    v_r = jnp.moveaxis(valid_mask.reshape(b, m, chains), 2, 1).reshape(
+        b * chains, m
+    )
+    idx_r, sampled_r = farthest_point_sample_and_gather(p_r, k, v_r)
+    chain_of = jnp.arange(b * chains, dtype=jnp.int32)[:, None] % chains
+    idx = (idx_r * chains + chain_of).reshape(b, num_samples)
+    sampled = sampled_r.reshape(b, num_samples, 3)
     return idx, sampled
 
 

@@ -37,7 +37,9 @@ def icp(
 
     def body(_, carry):
         r, t, _ = carry
-        moved = source @ r.T + t
+        # HIGHEST: applying R at TPU-default bf16 matmul precision injects
+        # ~4e-3 relative coordinate noise — far above calibration scale
+        moved = jnp.matmul(source, r.T, precision=jax.lax.Precision.HIGHEST) + t
         idx, _d = knn(moved, target, 1, exact=exact_nn)
         matched = target[idx[:, 0]]
         r_new, t_new, rmse = solve_kabsch(matched, source)

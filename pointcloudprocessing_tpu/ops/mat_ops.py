@@ -18,6 +18,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Coordinate-bearing matmuls below are pinned to f32-exact precision: TPU's
+# default single-bf16-pass matmul carries ~4e-3 relative error — calibration
+# (Kabsch), frame composition, and radar->global conversion all feed mm-to-
+# cm-scale downstream math that cannot absorb it. Every contraction here has
+# depth 3, so the exact passes cost nothing measurable.
+
 
 def yaw_matrix(yaw_rad) -> jnp.ndarray:
     """Rotation about +z. Reference: utils/mat_ops.py:6-12 (`_yaw`)."""
@@ -61,14 +67,17 @@ def roll_matrix(roll_rad) -> jnp.ndarray:
     )
 
 
+@jax.default_matmul_precision("highest")
 def apply_yaw(dcm: jnp.ndarray, yaw_rad) -> jnp.ndarray:
     return yaw_matrix(yaw_rad) @ dcm
 
 
+@jax.default_matmul_precision("highest")
 def apply_pitch(dcm: jnp.ndarray, pitch_rad) -> jnp.ndarray:
     return pitch_matrix(pitch_rad) @ dcm
 
 
+@jax.default_matmul_precision("highest")
 def apply_roll(dcm: jnp.ndarray, roll_rad) -> jnp.ndarray:
     return roll_matrix(roll_rad) @ dcm
 
@@ -120,12 +129,14 @@ def get_dcm_positive_x_pointing_at_origin(pos: jnp.ndarray, roll_deg=0.0) -> jnp
     return dcm
 
 
+@jax.default_matmul_precision("highest")
 def reorthogonalize(dcm: jnp.ndarray) -> jnp.ndarray:
     """Nearest orthogonal matrix via SVD. Reference: utils/mat_ops.py:63-65."""
     u, _, vt = jnp.linalg.svd(dcm)
     return u @ vt
 
 
+@jax.default_matmul_precision("highest")
 def convert_radar_to_global(
     rg_az_el: jnp.ndarray, radar_pos: jnp.ndarray, radar_rpy: jnp.ndarray
 ) -> jnp.ndarray:
@@ -151,6 +162,7 @@ def convert_radar_to_global(
     return point @ g_r_r.T + jnp.asarray(radar_pos)
 
 
+@jax.default_matmul_precision("highest")
 def solve_kabsch(truth_vecs: jnp.ndarray, measured_vecs: jnp.ndarray):
     """Kabsch rigid alignment: find (R, t) minimizing ||R@measured + t - truth||.
 
@@ -192,6 +204,7 @@ def se3_compose(rotation: jnp.ndarray, translation: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+@jax.default_matmul_precision("highest")
 def relative_pose(sensor_pose: jnp.ndarray, target_pose: jnp.ndarray) -> jnp.ndarray:
     """Target pose expressed in the sensor frame.
 

@@ -96,6 +96,7 @@ def estimate_normals(
     viewpoint: jnp.ndarray | None = None,
     exact: bool = False,
     method: str | None = None,
+    window: int = 256,
 ) -> jnp.ndarray:
     """Per-point unit normals from PCA over k neighborhoods.
 
@@ -119,7 +120,8 @@ def estimate_normals(
         mask = (
             jnp.ones(points.shape[:1], bool) if valid_mask is None else valid_mask
         )
-        out = _estimate_normals_window(points[None], mask[None], k, viewpoint)
+        out = _estimate_normals_window(points[None], mask[None], k, viewpoint,
+                                       window=window)
         return out[0]
     if method is not None:
         exact = {"exact": True, "approx": False}[method]
@@ -160,7 +162,11 @@ def estimate_normals(
          jnp.ones_like(cx)],
         axis=-1,
     )  # (n, 10)
-    sums = sel @ feats  # (n, 10) MXU contraction over the neighbor sets
+    # HIGHEST: covariance assembly subtracts ~coord^2-magnitude moments;
+    # the default bf16 pass's ~4e-3 relative error swamps mm-scale signals
+    sums = jnp.matmul(
+        sel, feats, precision=jax.lax.Precision.HIGHEST
+    )  # (n, 10) MXU contraction over the neighbor sets
     cnt = jnp.maximum(sums[:, 9], 1.0)
     mx, my, mz = sums[:, 0] / cnt, sums[:, 1] / cnt, sums[:, 2] / cnt
     cxx = sums[:, 3] / cnt - mx * mx
@@ -236,12 +242,14 @@ def estimate_normals_batch(
     viewpoint: jnp.ndarray | None = None,
     exact: bool = False,
     method: str | None = None,
+    window: int = 256,
 ):
     if valid_mask is None:
         valid_mask = jnp.ones(points.shape[:2], bool)
     if method == "window":
         # natively batched (Pallas grid over clouds) — no vmap
-        return _estimate_normals_window(points, valid_mask, k, viewpoint)
+        return _estimate_normals_window(points, valid_mask, k, viewpoint,
+                                        window=window)
     if method is not None:
         exact = {"exact": True, "approx": False}[method]
     if viewpoint is None:

@@ -47,24 +47,24 @@ def _interpret() -> bool:
 _LEVELS = 12
 
 
-def _window_kernel(
-    cx_ref, cy_ref, cz_ref, valid_ref,
-    cnt_ref, sx_ref, sy_ref, sz_ref,
-    sxx_ref, sxy_ref, sxz_ref, syy_ref, syz_ref, szz_ref,
-    *, q_block: int, window: int, k: int,
+def _moment_sums_for_block(
+    cx_ref, cy_ref, cz_ref, valid_ref, q0, start,
+    *, q_block: int, c: int, k: int,
 ):
-    n = cx_ref.shape[-1]
-    c = q_block + 2 * window
-    iq = pl.program_id(1)
-    q0 = pl.multiple_of(iq * q_block, 128)
-    # q_block, window, and n are all 128-multiples, so the clamped window
-    # start stays aligned — Mosaic can't see that through the clip, hence
-    # the explicit hint
-    start = pl.multiple_of(jnp.clip(q0 - window, 0, n - c), 128)
+    """Shared block body: (Q, 10) moment sums for queries [q0, q0+Q).
+
+    ``q0``/``start`` may be python ints (static offsets, per-cloud kernel)
+    or traced scalars (per-block kernel); ``pl.ds`` handles both.
+    """
+    inf = jnp.float32(jnp.inf)
+    kf = jnp.float32(k)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
 
     # candidates: (1, C) row slices of the VMEM-resident cloud planes
-    # (refs are (1, 1, n) — Mosaic block rule wants the sublane dim of a
-    # block to be 8-divisible or the full array dim, hence the unit axis)
+    # (refs are (1, 1, n) — Mosaic block rule wants the sublane dim of
+    # a block to be 8-divisible or the full array dim, hence the unit
+    # axis)
     px = cx_ref[0, 0:1, pl.ds(start, c)]
     py = cy_ref[0, 0:1, pl.ds(start, c)]
     pz = cz_ref[0, 0:1, pl.ds(start, c)]
@@ -75,56 +75,121 @@ def _window_kernel(
     qy = jnp.swapaxes(cy_ref[0, 0:1, pl.ds(q0, q_block)], 0, 1)
     qz = jnp.swapaxes(cz_ref[0, 0:1, pl.ds(q0, q_block)], 0, 1)
 
+    # exact squared differences (NOT the expanded |q|^2+|p|^2-2qp MXU
+    # form: its rounding makes self-distances nonzero, which corrupts
+    # the nearest-NON-SELF base m below)
     dx = qx - px
     dy = qy - py
     dz = qz - pz
     d = dx * dx + dy * dy + dz * dz  # (Q, C)
+    dm = jnp.where(pv, d, inf)  # mask validity ONCE
 
-    inf = jnp.float32(jnp.inf)
     # nearest NON-SELF neighbor distance per query (d == 0 rows are the
     # query itself or an exact duplicate; duplicates still count as
     # neighbors below, they just must not zero the threshold base)
-    m = jnp.min(jnp.where(pv & (d > 0.0), d, inf), axis=1, keepdims=True)
+    m = jnp.min(jnp.where(dm > 0.0, dm, inf), axis=1, keepdims=True)
 
-    kf = jnp.float32(k)
-    one = jnp.float32(1.0)
-    zero = jnp.float32(0.0)
     missed = jnp.float32(0.0)  # levels whose count fell short of k
     for s in range(_LEVELS):
         cnt_s = jnp.sum(
-            jnp.where(pv & (d <= m * jnp.float32(2.0**s)), one, zero),
+            jnp.where(dm <= m * jnp.float32(2.0**s), one, zero),
             axis=1, keepdims=True,
         )
         missed += jnp.where(cnt_s < kf, one, zero)
     # smallest level reaching k; if none did (short windows / < k valid
     # points) select every valid candidate, matching the brute-force
-    # path's kth = inf behavior
-    thr = jnp.where(missed >= _LEVELS, inf, m * jnp.exp2(missed))
+    # path's kth = inf behavior. The fallback must be FINITE: invalid
+    # candidates carry dm = inf, and `inf <= inf` would admit them.
+    huge = jnp.float32(3e38)
+    thr = jnp.where(missed >= _LEVELS, huge, m * jnp.exp2(missed))
     # half-level refinement: count overshoot 2x -> sqrt(2)x
     thr_lo = m * jnp.exp2(missed - 0.5)
     cnt_lo = jnp.sum(
-        jnp.where(pv & (d <= thr_lo), one, zero), axis=1, keepdims=True
+        jnp.where(dm <= thr_lo, one, zero), axis=1, keepdims=True
     )
     thr = jnp.where(cnt_lo >= kf, thr_lo, thr)
 
-    sel = jnp.where(pv & (d <= thr), one, zero)  # (Q, C)
+    sel = jnp.where(dm <= thr, one, zero)  # (Q, C)
 
-    def put(ref, col):
-        ref[...] = jnp.swapaxes(col, 0, 1)[None]  # (Q, 1) -> (1, 1, Q)
-
+    # moment sums as VPU mul+reduce chains. The alternative — one MXU
+    # contraction of sel against precomputed feature planes [1, x, y, ...,
+    # zz] — measured at par or ~2% SLOWER at both hot shapes (HIGHEST
+    # precision is mandatory for the cancellation-prone second moments, and
+    # its 6 passes + the (b, 10, n) feature materialization eat the MXU
+    # win), so the simpler engine stays.
     wx = sel * px
     wy = sel * py
     wz = sel * pz
-    put(cnt_ref, jnp.sum(sel, axis=1, keepdims=True))
-    put(sx_ref, jnp.sum(wx, axis=1, keepdims=True))
-    put(sy_ref, jnp.sum(wy, axis=1, keepdims=True))
-    put(sz_ref, jnp.sum(wz, axis=1, keepdims=True))
-    put(sxx_ref, jnp.sum(wx * px, axis=1, keepdims=True))
-    put(sxy_ref, jnp.sum(wx * py, axis=1, keepdims=True))
-    put(sxz_ref, jnp.sum(wx * pz, axis=1, keepdims=True))
-    put(syy_ref, jnp.sum(wy * py, axis=1, keepdims=True))
-    put(syz_ref, jnp.sum(wy * pz, axis=1, keepdims=True))
-    put(szz_ref, jnp.sum(wz * pz, axis=1, keepdims=True))
+    cols = (
+        jnp.sum(sel, axis=1, keepdims=True),
+        jnp.sum(wx, axis=1, keepdims=True),
+        jnp.sum(wy, axis=1, keepdims=True),
+        jnp.sum(wz, axis=1, keepdims=True),
+        jnp.sum(wx * px, axis=1, keepdims=True),
+        jnp.sum(wx * py, axis=1, keepdims=True),
+        jnp.sum(wx * pz, axis=1, keepdims=True),
+        jnp.sum(wy * py, axis=1, keepdims=True),
+        jnp.sum(wy * pz, axis=1, keepdims=True),
+        jnp.sum(wz * pz, axis=1, keepdims=True),
+    )
+    return jnp.concatenate(cols, axis=1)  # (Q, 10)
+
+
+def _window_kernel_percloud(
+    cx_ref, cy_ref, cz_ref, valid_ref,
+    cnt_ref, sx_ref, sy_ref, sz_ref,
+    sxx_ref, sxy_ref, sxz_ref, syy_ref, syz_ref, szz_ref,
+    *, q_block: int, window: int, k: int,
+):
+    """One program per CLOUD, python-unrolled over query blocks: a grid
+    program per (cloud, block) pays ~4 us of launch overhead each — at
+    256 clouds x 8 blocks that overhead (~8 ms) dwarfs the ~2 ms of
+    compute. The unrolled loop keeps the cloud's planes VMEM-resident
+    across blocks and makes every slice offset a compile-time constant."""
+    n = cx_ref.shape[-1]
+    c = q_block + 2 * window
+
+    for iq in range(n // q_block):
+        q0 = iq * q_block
+        start = min(max(q0 - window, 0), n - c)
+        sums = _moment_sums_for_block(
+            cx_ref, cy_ref, cz_ref, valid_ref, q0, start,
+            q_block=q_block, c=c, k=k,
+        )
+        for j, ref in enumerate(
+            (cnt_ref, sx_ref, sy_ref, sz_ref,
+             sxx_ref, sxy_ref, sxz_ref, syy_ref, syz_ref, szz_ref)
+        ):
+            ref[0, 0:1, q0:q0 + q_block] = jnp.swapaxes(sums[:, j:j + 1], 0, 1)
+
+
+def _window_kernel_perblock(
+    cx_ref, cy_ref, cz_ref, valid_ref,
+    cnt_ref, sx_ref, sy_ref, sz_ref,
+    sxx_ref, sxy_ref, sxz_ref, syy_ref, syz_ref, szz_ref,
+    *, q_block: int, window: int, k: int,
+):
+    """One program per (cloud, query block): at small batch x block counts
+    (<= ~512 programs) launch overhead is negligible and the finer grid
+    pipelines output DMA better than one monolithic per-cloud program —
+    measured ~10% faster at config-2 shape (8 x 8192)."""
+    n = cx_ref.shape[-1]
+    c = q_block + 2 * window
+    iq = pl.program_id(1)
+    q0 = pl.multiple_of(iq * q_block, 128)
+    # q_block, window, and n are all 128-multiples, so the clamped window
+    # start stays aligned — Mosaic can't see that through the clip, hence
+    # the explicit hint
+    start = pl.multiple_of(jnp.clip(q0 - window, 0, n - c), 128)
+    sums = _moment_sums_for_block(
+        cx_ref, cy_ref, cz_ref, valid_ref, q0, start,
+        q_block=q_block, c=c, k=k,
+    )
+    for j, ref in enumerate(
+        (cnt_ref, sx_ref, sy_ref, sz_ref,
+         sxx_ref, sxy_ref, sxz_ref, syy_ref, syz_ref, szz_ref)
+    ):
+        ref[...] = jnp.swapaxes(sums[:, j:j + 1], 0, 1)[None]
 
 
 def windowed_moment_sums(
@@ -164,19 +229,35 @@ def windowed_moment_sums(
     planes = jnp.moveaxis(centered.astype(jnp.float32), -1, 0)[:, :, None, :]
     validf = valid_mask.astype(jnp.float32)[:, None, :]
 
-    row_spec = pl.BlockSpec(
-        (1, 1, n), lambda ib, iq: (ib, 0, 0), memory_space=pltpu.VMEM
-    )
-    out_spec = pl.BlockSpec(
-        (1, 1, q_block), lambda ib, iq: (ib, 0, iq), memory_space=pltpu.VMEM
-    )
     out_shape = jax.ShapeDtypeStruct((b, 1, n), jnp.float32)
-    kernel = functools.partial(
-        _window_kernel, q_block=q_block, window=window, k=k
-    )
+    n_blocks = n // q_block
+    if b * n_blocks <= 512:
+        # fine grid: per-(cloud, block) programs — launch overhead is small
+        # at this program count and the finer grid pipelines output DMA
+        row_spec = pl.BlockSpec(
+            (1, 1, n), lambda ib, iq: (ib, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (1, 1, q_block), lambda ib, iq: (ib, 0, iq), memory_space=pltpu.VMEM
+        )
+        kernel = functools.partial(
+            _window_kernel_perblock, q_block=q_block, window=window, k=k
+        )
+        grid = (b, n_blocks)
+    else:
+        # coarse grid: one program per cloud, blocks python-unrolled —
+        # amortizes the ~4 us/program launch cost at large batches
+        row_spec = pl.BlockSpec(
+            (1, 1, n), lambda ib: (ib, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = row_spec
+        kernel = functools.partial(
+            _window_kernel_percloud, q_block=q_block, window=window, k=k
+        )
+        grid = (b,)
     outs = pl.pallas_call(
         kernel,
-        grid=(b, n // q_block),
+        grid=grid,
         in_specs=[row_spec] * 4,
         out_specs=(out_spec,) * 10,
         out_shape=(out_shape,) * 10,

@@ -79,16 +79,20 @@ def voxel_downsample_batch(
     hi = jnp.where(valid_mask, hi, big)
     # ONE variadic sort carries every payload through the sorting network —
     # a separate argsort + take_along_axis permutation costs ~4 ms per gather
-    # on TPU (row gathers serialize), ~3x the sort itself
-    (_, _, sx, sy, sz, sv) = jax.lax.sort(
-        (hi, lo, points[..., 0], points[..., 1], points[..., 2],
-         valid_mask.astype(jnp.int32)),
+    # on TPU (row gathers serialize), ~3x the sort itself. Validity does NOT
+    # ride as a payload: valid rows carry hi <= 2^15-1 < big, so after the
+    # stable sort exactly the first num_valid rows are valid.
+    (_, _, sx, sy, sz) = jax.lax.sort(
+        (hi, lo, points[..., 0], points[..., 1], points[..., 2]),
         dimension=-1,
         is_stable=True,
         num_keys=2,
     )
     sorted_points = jnp.stack([sx, sy, sz], axis=-1)
-    sorted_valid = sv.astype(bool)
+    num_valid = jnp.sum(valid_mask, axis=1)
+    sorted_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, n), 1) < num_valid[:, None]
+    )
     # recomputing the quantization on sorted rows is exact (same floor on
     # the same float values), so no coordinate payloads are needed
     sorted_coords = jnp.floor(sorted_points / voxel_size).astype(jnp.int32)
