@@ -11,10 +11,16 @@ stderr: the full config sweep —
      XLA program per batch
 
 Timing: the axon TPU tunnel dispatches asynchronously and
-``block_until_ready`` does not wait for remote execution, so each step's
-output is folded back into the next step's input (x + tie*1e-24 — a
-numerical no-op that is not algebraically removable, preventing DCE); a
-single host read syncs the chain.
+``block_until_ready`` does not wait for remote execution; a host READ of an
+output is the only sync, and it costs a full ~25-30 ms tunnel round trip.
+Throughput metrics therefore dispatch S INDEPENDENT steps and read one
+scalar from the LAST output only — the device stream is FIFO, so the last
+result landing means all S executed; the single rtt amortizes to rtt/S.
+(The previous per-step chain-and-subtract-rtt scheme over-estimated small
+steps by ~2 ms/step of rtt variance: config-2 preprocess measured 4.8 ms
+chained vs 2.1 ms in the profiler trace / 2.7 ms pipelined.) The on-device
+latency metric still uses a serially-dependent in-program chain, because
+latency — unlike throughput — must not overlap steps.
 """
 
 from __future__ import annotations
@@ -45,20 +51,23 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _chain_time(fn, x0, steps: int, reps: int = 3) -> float:
-    """Seconds/step for chained fn: x -> x (compiled outside).
+def _sync(out_tree) -> None:
+    """One tunnel round trip: host-read a scalar from the tree."""
+    _ = float(jax.tree_util.tree_leaves(out_tree)[0].ravel()[0])
 
-    MEDIAN over ``reps`` timed chains — single chains through the async
-    tunnel vary ±30% run to run (TODO.md), medians are stable to a few %."""
-    x = fn(x0)
-    _ = float(x.ravel()[0])  # compile + sync
+
+def _pipelined_time(fn, x0, steps: int, reps: int = 3) -> float:
+    """Seconds/step for ``steps`` INDEPENDENT dispatches of fn, one host
+    sync on the last output (FIFO device stream). This is the serving
+    pattern — batches don't depend on each other — and the ~25-30 ms
+    tunnel rtt amortizes to rtt/steps. MEDIAN over ``reps``."""
+    _sync(fn(x0))  # compile + sync
     per_step = []
     for _ in range(reps):
-        x = x0
         t0 = time.perf_counter()
-        for _ in range(steps):
-            x = fn(x)
-        _ = float(x.ravel()[0])
+        for _ in range(steps - 1):
+            fn(x0)
+        _sync(fn(x0))
         per_step.append((time.perf_counter() - t0) / steps)
     return float(np.median(per_step))
 
@@ -68,7 +77,7 @@ def _tie(out_tree, x):
     return x + total * 1e-24
 
 
-def bench_infer(batch_size: int, width: int, precision: str, steps: int = 20,
+def bench_infer(batch_size: int, width: int, precision: str, steps: int = 30,
                 heads=("classification_output", "segmentation_output", "se3")) -> float:
     model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)
     pts = jnp.asarray(
@@ -79,10 +88,9 @@ def bench_infer(batch_size: int, width: int, precision: str, steps: int = 20,
     @jax.jit
     def step(points):
         with jax.default_matmul_precision(precision):
-            out = model.apply(variables, points, train=False, heads=heads)
-        return _tie(out, points)
+            return model.apply(variables, points, train=False, heads=heads)
 
-    dt = _chain_time(step, pts, steps)
+    dt = _pipelined_time(step, pts, steps)
     return batch_size / dt
 
 
@@ -163,7 +171,7 @@ def bench_latency_on_device(width: int = 1024, chain: int = 500, reps: int = 5) 
     return float(per_step / chain * 1e3)
 
 
-def bench_preprocess(batch: int = 8, width: int = 8192, steps: int = 10) -> float:
+def bench_preprocess(batch: int = 8, width: int = 8192, steps: int = 50) -> float:
     """Voxel downsample + kNN PCA normals, Mpoints/sec (config 2 shape: one
     F-15 LiDAR scan is 8192 points)."""
     pts = jnp.asarray(
@@ -177,9 +185,9 @@ def bench_preprocess(batch: int = 8, width: int = 8192, steps: int = 10) -> floa
         # kernel's index-window candidate set is spatially valid (median
         # angle error vs exact < 0.5 deg, test_preprocess_ops.py)
         normals = estimate_normals_batch(vox, k=16, valid_mask=mask, method="window")
-        return _tie((vox, normals), x)
+        return vox, normals
 
-    dt = _chain_time(step, pts, steps)
+    dt = _pipelined_time(step, pts, steps)
     return batch * width / dt / 1e6
 
 
@@ -267,7 +275,7 @@ def bench_train_multi_step(
 
 
 def bench_e2e_pipeline(batch: int = 256, width_in: int = 2048, width_out: int = 1024,
-                       steps: int = 10) -> float:
+                       steps: int = 30) -> float:
     """Streamed scans -> voxel/FPS/normals -> PointNet classify, single fused
     XLA program per batch (config 5)."""
     model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)
@@ -281,8 +289,7 @@ def bench_e2e_pipeline(batch: int = 256, width_in: int = 2048, width_out: int = 
     def step(x):
         vox, mask = voxel_downsample_batch(x, 0.4)
         _, sampled = farthest_point_sample_and_gather(vox, width_out, mask)
-        out = model.apply(variables, sampled, train=False)
-        return _tie(out, x)
+        return model.apply(variables, sampled, train=False)
 
     # full config-5 fidelity: normals ride the Morton-ordered voxel output
     # (windowed Pallas kernel) BEFORE FPS (FPS's selection order has no
@@ -298,10 +305,10 @@ def bench_e2e_pipeline(batch: int = 256, width_in: int = 2048, width_out: int = 
         _, sampled = farthest_point_sample_and_gather(vox, width_out, mask)
         out = model.apply(variables, sampled, train=False,
                           heads=("classification_output", "se3"))
-        return _tie((out, normals), x)
+        return out, normals
 
-    dt = _chain_time(step, pts, steps)
-    dt_n = _chain_time(step_with_normals, pts, steps)
+    dt = _pipelined_time(step, pts, steps)
+    dt_n = _pipelined_time(step_with_normals, pts, steps)
     return batch / dt, batch / dt_n
 
 
