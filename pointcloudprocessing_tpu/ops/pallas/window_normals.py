@@ -89,25 +89,41 @@ def _moment_sums_for_block(
     # neighbors below, they just must not zero the threshold base)
     m = jnp.min(jnp.where(dm > 0.0, dm, inf), axis=1, keepdims=True)
 
-    missed = jnp.float32(0.0)  # levels whose count fell short of k
-    for s in range(_LEVELS):
-        cnt_s = jnp.sum(
-            jnp.where(dm <= m * jnp.float32(2.0**s), one, zero),
+    # smallest level s in [0, _LEVELS) with count(dm <= m 2^s) >= k, by
+    # BISECTION over the monotone count curve: ceil(log2(_LEVELS + 1)) = 4
+    # counting passes instead of one per level (the linear scan was the
+    # single largest VPU cost in the kernel). Invariant: hi always holds a
+    # level whose count reaches k (seeded by the explicit top-level check),
+    # lo - 1 never does.
+    cnt_top = jnp.sum(
+        jnp.where(dm <= m * jnp.float32(2.0 ** (_LEVELS - 1)), one, zero),
+        axis=1, keepdims=True,
+    )
+    fallback = cnt_top < kf  # not even the widest level reaches k
+    lo = jnp.zeros_like(m)
+    hi = jnp.full_like(m, float(_LEVELS - 1))
+    for _ in range(4):
+        mid = jnp.floor((lo + hi) * 0.5)
+        cnt_mid = jnp.sum(
+            jnp.where(dm <= m * jnp.exp2(mid), one, zero),
             axis=1, keepdims=True,
         )
-        missed += jnp.where(cnt_s < kf, one, zero)
-    # smallest level reaching k; if none did (short windows / < k valid
-    # points) select every valid candidate, matching the brute-force
-    # path's kth = inf behavior. The fallback must be FINITE: invalid
-    # candidates carry dm = inf, and `inf <= inf` would admit them.
+        ok = cnt_mid >= kf
+        hi = jnp.where(ok, mid, hi)
+        lo = jnp.where(ok, lo, mid + one)
+    s_star = hi
+    # if no level reached k (short windows / < k valid points) select every
+    # valid candidate, matching the brute-force path's kth = inf behavior.
+    # The fallback must be FINITE: invalid candidates carry dm = inf, and
+    # `inf <= inf` would admit them.
     huge = jnp.float32(3e38)
-    thr = jnp.where(missed >= _LEVELS, huge, m * jnp.exp2(missed))
+    thr = jnp.where(fallback, huge, m * jnp.exp2(s_star))
     # half-level refinement: count overshoot 2x -> sqrt(2)x
-    thr_lo = m * jnp.exp2(missed - 0.5)
+    thr_lo = m * jnp.exp2(s_star - 0.5)
     cnt_lo = jnp.sum(
         jnp.where(dm <= thr_lo, one, zero), axis=1, keepdims=True
     )
-    thr = jnp.where(cnt_lo >= kf, thr_lo, thr)
+    thr = jnp.where(jnp.logical_and(cnt_lo >= kf, ~fallback), thr_lo, thr)
 
     sel = jnp.where(dm <= thr, one, zero)  # (Q, C)
 

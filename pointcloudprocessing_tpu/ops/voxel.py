@@ -19,9 +19,10 @@ TPU-shaped implementation notes (measured on v5e, 256 x 2048 pts):
   costs ~25 ms/batch, while the equivalent ``einsum('bnk,bnd->bkd')`` runs in
   a few ms. Counts ride along as a fused ones-column (d = xyz + 1), so sums
   and counts cost one matmul.
-- Per-voxel sums touch at most a few thousand points; the default (bf16
-  multi-pass) matmul precision keeps centroids exact to ~1e-6 relative on
-  TPU and is bit-exact f32 on CPU.
+- The reduce contraction runs as TWO bf16 passes with a pre-split data
+  operand (ops/pallas/voxel_reduce.py): a single default-precision pass
+  truncates coordinates to bf16 — measured 6 cm centroid error at 30 m
+  scenes — while hi+lo recovers ~2^-16 relative (~0.01 mm).
 - 'first' mode exploits sort stability: the first sorted row of each segment
   has the lowest original index, so the same contraction with the segment-
   open mask extracts the representative point with no ``segment_min``.
