@@ -119,12 +119,14 @@ def voxel_downsample_batch(
     if jax.default_backend() in ("tpu", "axon"):
         # Pallas kernel: the one-hot slab is generated in VMEM instead of
         # materializing (b, n, n) in HBM (~9x over the einsum, which in turn
-        # beats TPU's serialized scatter lowering by ~9x)
+        # beats TPU's serialized scatter lowering by ~9x). rank is monotone
+        # by construction (cumsum over sort order), so the BANDED variant
+        # applies: each output tile contracts only its own row band.
         from pointcloudprocessing_tpu.ops.pallas.voxel_reduce import (
-            segment_reduce_pallas,
+            sorted_segment_reduce_pallas,
         )
 
-        reduced = segment_reduce_pallas(data, rank)
+        reduced = sorted_segment_reduce_pallas(data, rank)
     else:
         # CPU/GPU: scatter-based segment_sum is linear in memory and lowers
         # fine off-TPU (a dense one-hot would be O(b*n^2))

@@ -492,3 +492,34 @@ def test_blocked_fps_divisibility_error(rng):
     pts = jnp.asarray(rng.normal(size=(1, 100, 3)).astype(np.float32))
     with pytest.raises(ValueError, match="chains"):
         farthest_point_sample_and_gather(pts, 10, chains=3)
+
+
+def test_sorted_segment_reduce_banded_matches_dense(rng):
+    """The banded kernel (monotone rank) must agree with the dense kernel
+    and the exact einsum to the shared two-pass-bf16 contract, including
+    empty segments, segments straddling chunk boundaries, and a
+    larger-than-one-chunk segment."""
+    from pointcloudprocessing_tpu.ops.pallas.voxel_reduce import (
+        segment_reduce_pallas,
+        sorted_segment_reduce_pallas,
+    )
+
+    b, n, d = 2, 512, 4
+    data = jnp.asarray((rng.normal(size=(b, n, d)) * 30).astype(np.float32))
+    # monotone rank with chunky segments: sorted draws from a skewed range
+    raw = np.sort(rng.integers(0, n // 3, (b, n)), axis=1)
+    raw[1, : n // 2] = 0  # one segment spanning multiple 128-chunks
+    rank = jnp.asarray(raw.astype(np.int32))
+    got = np.asarray(
+        sorted_segment_reduce_pallas(data, rank, k_tile=64, chunk=128)
+    )
+    dense = np.asarray(segment_reduce_pallas(data, rank))
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 2) == rank[..., None]
+    )
+    want = np.asarray(
+        jnp.einsum("bnk,bnd->bkd", onehot.astype(jnp.float32), data)
+    )
+    atol = 30 * 2.0**-16 * (n // 2)
+    np.testing.assert_allclose(got, dense, atol=atol)
+    np.testing.assert_allclose(got, want, atol=atol)
