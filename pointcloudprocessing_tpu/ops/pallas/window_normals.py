@@ -127,28 +127,43 @@ def _moment_sums_for_block(
 
     sel = jnp.where(dm <= thr, one, zero)  # (Q, C)
 
-    # moment sums as VPU mul+reduce chains. The alternative — one MXU
-    # contraction of sel against precomputed feature planes [1, x, y, ...,
-    # zz] — measured at par or ~2% SLOWER at both hot shapes (HIGHEST
-    # precision is mandatory for the cancellation-prone second moments, and
-    # its 6 passes + the (b, 10, n) feature materialization eat the MXU
-    # win), so the simpler engine stays.
-    wx = sel * px
-    wy = sel * py
-    wz = sel * pz
-    cols = (
-        jnp.sum(sel, axis=1, keepdims=True),
-        jnp.sum(wx, axis=1, keepdims=True),
-        jnp.sum(wy, axis=1, keepdims=True),
-        jnp.sum(wz, axis=1, keepdims=True),
-        jnp.sum(wx * px, axis=1, keepdims=True),
-        jnp.sum(wx * py, axis=1, keepdims=True),
-        jnp.sum(wx * pz, axis=1, keepdims=True),
-        jnp.sum(wy * py, axis=1, keepdims=True),
-        jnp.sum(wy * pz, axis=1, keepdims=True),
-        jnp.sum(wz * pz, axis=1, keepdims=True),
-    )
-    return jnp.concatenate(cols, axis=1)  # (Q, 10)
+    # Moment sums as ONE MXU contraction of sel against 10 feature rows
+    # [1, x, y, z, xx, xy, xz, yy, yz, zz] — replacing ~12 full (Q, C) VPU
+    # mul+reduce passes with (C)-length feature builds plus a matmul whose
+    # cost is noise. Precision scheme (an earlier HIGHEST-precision attempt
+    # measured ~2% SLOWER than the VPU chains — the 6 exact passes ate the
+    # win):
+    #  1. SHIFT candidates by the block's valid-candidate mean: covariance
+    #     assembly is shift-invariant (cov = E[xx] - E[x]E[x]), so the
+    #     returned first moments are relative to an arbitrary per-block
+    #     shift — documented in the public contract. Shifting bounds the
+    #     feature magnitudes by the window's physical extent, not the
+    #     cloud's.
+    #  2. hi/lo bf16 split of the feature rows IN-KERNEL (XLA folds
+    #     f32(bf16(x)) -> x outside), concatenated to (20, C) so the sel
+    #     operand streams through the MXU once at default precision; sel
+    #     itself is 0/1, exact in bf16.
+    pvf = jnp.where(pv, one, zero)
+    nv = jnp.maximum(jnp.sum(pvf, axis=1, keepdims=True), one)
+    shx = jnp.sum(px * pvf, axis=1, keepdims=True) / nv  # (1, 1)
+    shy = jnp.sum(py * pvf, axis=1, keepdims=True) / nv
+    shz = jnp.sum(pz * pvf, axis=1, keepdims=True) / nv
+    ax = px - shx
+    ay = py - shy
+    az = pz - shz
+    f = jnp.concatenate(
+        [jnp.ones_like(ax), ax, ay, az,
+         ax * ax, ax * ay, ax * az, ay * ay, ay * az, az * az],
+        axis=0,
+    )  # (10, C)
+    f_hi = f.astype(jnp.bfloat16)
+    f_lo = (f - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f20 = jnp.concatenate([f_hi, f_lo], axis=0)  # (20, C)
+    s20 = jax.lax.dot_general(
+        sel.astype(jnp.bfloat16), f20, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, 20)
+    return s20[:, :10] + s20[:, 10:]  # (Q, 10)
 
 
 def _window_kernel_percloud(
@@ -228,6 +243,11 @@ def windowed_moment_sums(
 
     Returns 10 (b, n) f32 arrays:
       (cnt, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz).
+
+    CONTRACT: the moment sums are computed in coordinates shifted by an
+    arbitrary per-query-block constant (the block's valid-candidate mean)
+    — consumers may only form SHIFT-INVARIANT quantities from them, i.e.
+    the covariance ``sxx/cnt - (sx/cnt)^2`` etc., never absolute means.
     """
     b, n = centered.shape[:2]
     if n % q_block or q_block % 128 or window % 128:
