@@ -1,0 +1,216 @@
+"""Hardware-numerics acceptance checks, run on a real TPU chip.
+
+The CPU test suite cannot catch TPU-only numerics regressions: on CPU
+every matmul is exact f32 and Pallas runs in interpret mode. Two real
+bugs motivated this harness (round 2, docs/PERF.md):
+
+- the kNN pairwise-distance expansion ran at the MXU default single-bf16
+  pass — 7.6 deg median normal error at 25 m scene offsets;
+- the voxel segment-reduce contraction did the same — 6 cm centroid error
+  — and the naive fix (hi/lo split in the XLA graph) was silently folded
+  away by the algebraic simplifier.
+
+Run: ``python tools/tpu_acceptance.py`` (env preset JAX_PLATFORMS=axon).
+Prints one PASS/FAIL line per check; exit code 1 if any check fails.
+Keep every threshold tied to a physical contract (mm, degrees), not to
+"whatever the code does today".
+"""
+
+from __future__ import annotations
+
+import sys
+import unittest.mock as um
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+_FAILURES: list[str] = []
+
+
+def check(name: str, value: float, bound: float, unit: str) -> None:
+    ok = value <= bound
+    tag = "PASS" if ok else "FAIL"
+    print(f"[{tag}] {name}: {value:.3g} {unit} (bound {bound:g})", flush=True)
+    if not ok:
+        _FAILURES.append(name)
+
+
+def _cpu_reference():
+    """Context that routes the library's backend dispatch to the exact CPU
+    paths (scatter-based segment_sum, interpret-mode Pallas)."""
+    import pointcloudprocessing_tpu.ops.pallas.voxel_reduce as vr
+    import pointcloudprocessing_tpu.ops.pallas.window_normals as wn
+    import pointcloudprocessing_tpu.ops.pallas.fps as fp
+    import contextlib
+
+    cpu = jax.devices("cpu")[0]
+    ctx = contextlib.ExitStack()
+    ctx.enter_context(jax.default_device(cpu))
+    for mod in (vr, wn, fp):
+        ctx.enter_context(um.patch.object(mod, "_interpret", lambda: True))
+    ctx.enter_context(um.patch.object(jax, "default_backend", lambda: "cpu"))
+    return ctx
+
+
+def check_voxel_centroids() -> None:
+    """TPU voxel centroids vs the exact CPU segment_sum path: ≤ 1 mm at a
+    30 m uniform scene (regression bound for the reduce contraction)."""
+    from pointcloudprocessing_tpu.ops import voxel_downsample_batch
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-30, 30, (4, 2048, 3)).astype(np.float32)
+    vox_t, mask_t = jax.jit(lambda x: voxel_downsample_batch(x, 0.4))(
+        jnp.asarray(pts)
+    )
+    with _cpu_reference():
+        vox_c, _ = voxel_downsample_batch(jnp.asarray(pts), 0.4)
+    err = np.abs(np.asarray(vox_t) - np.asarray(vox_c))[np.asarray(mask_t)]
+    check("voxel centroid error vs exact", float(err.max()) * 1e3, 1.0, "mm")
+
+
+def _sphere_scene(n=8192, b=4, offset=25.0):
+    rng = np.random.default_rng(3)
+    th = rng.uniform(0, np.pi, (b, n))
+    ph = rng.uniform(0, 2 * np.pi, (b, n))
+    pts = np.stack(
+        [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)], -1
+    ) * 10.0
+    return jnp.asarray(
+        (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+    ) + offset
+
+
+def check_normals() -> None:
+    """Windowed and exact normals on an offset sphere: the windowed kernel
+    vs the exact path (quality contract) and exact-TPU vs exact-CPU (the
+    distance-expansion precision contract)."""
+    from pointcloudprocessing_tpu.ops import voxel_downsample_batch
+    from pointcloudprocessing_tpu.ops.normals import estimate_normals_batch
+
+    pts = _sphere_scene()
+    vox, mask = voxel_downsample_batch(pts, 0.25)
+    nw = np.asarray(
+        estimate_normals_batch(vox, k=16, valid_mask=mask, method="window")
+    )
+    ne = np.asarray(
+        estimate_normals_batch(vox, k=16, valid_mask=mask, method="exact")
+    )
+    with _cpu_reference():
+        ne_c = np.asarray(
+            estimate_normals_batch(
+                jnp.asarray(np.asarray(vox)),
+                k=16,
+                valid_mask=jnp.asarray(np.asarray(mask)),
+                method="exact",
+            )
+        )
+    m = np.asarray(mask)
+
+    def ang(a, b):
+        d = np.clip(np.abs(np.sum(a * b, -1))[m], 0, 1)
+        return np.degrees(np.arccos(d))
+
+    a_we = ang(nw, ne)
+    a_tc = ang(ne, ne_c)
+    check("window-vs-exact normals median", float(np.median(a_we)), 1.0, "deg")
+    check("window-vs-exact normals p95", float(np.percentile(a_we, 95)), 5.0, "deg")
+    check("exact normals TPU-vs-CPU median", float(np.median(a_tc)), 0.1, "deg")
+
+
+def check_rigid_alignment() -> None:
+    """Kabsch + ICP must recover a known small transform at 30 m offsets
+    to sub-mm RMSE (the transform-application precision contract)."""
+    from pointcloudprocessing_tpu.ops.mat_ops import solve_kabsch
+    from pointcloudprocessing_tpu.ops.icp import icp
+
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(400, 3)).astype(np.float32) * 5 + 30
+    a = 0.05
+    rot = np.array(
+        [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]],
+        np.float32,
+    )
+    tgt = src @ rot.T + np.array([0.3, -0.2, 0.4], np.float32)
+    _, _, rmse_k = solve_kabsch(jnp.asarray(tgt), jnp.asarray(src))
+    _, _, rmse_i = icp(jnp.asarray(src), jnp.asarray(tgt), iterations=10)
+    check("kabsch recovery rmse", float(rmse_k) * 1e3, 0.1, "mm")
+    check("icp recovery rmse", float(rmse_i) * 1e3, 1.0, "mm")
+
+
+def check_fps_selection() -> None:
+    """The Pallas FPS kernel must select the same points as the exact
+    'stream' formulation (both use exact squared differences)."""
+    from pointcloudprocessing_tpu.ops.fps import farthest_point_sample_batch
+
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.normal(size=(4, 512, 3)).astype(np.float32))
+    got = np.asarray(
+        farthest_point_sample_batch(pts, 64, method="pallas")
+    )
+    ref = np.asarray(
+        farthest_point_sample_batch(pts, 64, method="stream")
+    )
+    check(
+        "pallas-vs-stream FPS selection mismatches",
+        float((got != ref).sum()),
+        0.0,
+        "indices",
+    )
+
+
+def check_inference_precision_drift() -> None:
+    """Default-precision logits vs exact-f32 logits on the flagship model:
+    drift must stay within the serving tolerance (1e-2 on softmax logits —
+    default precision is the serving path, exact-f32 is the parity path)."""
+    from pointcloudprocessing_tpu.models import PointNet
+
+    model = PointNet(num_classes=23, num_parts=12)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 1024, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+
+    # inputs MUST be jit arguments: closing over concrete arrays in a
+    # zero-arg jit lets XLA constant-fold the whole model on the host
+    # (exact f32 both times — the check returned 0 drift, vacuously)
+    def run(points, precision):
+        with jax.default_matmul_precision(precision):
+            return model.apply(variables, points, train=False)
+
+    o_d = jax.jit(lambda p: run(p, "default"))(x)
+    o_h = jax.jit(lambda p: run(p, "highest"))(x)
+    drift = max(
+        float(jnp.max(jnp.abs(o_d[k] - o_h[k])))
+        for k in ("classification_output", "segmentation_output")
+    )
+    check("inference default-vs-exact drift", drift, 1e-2, "prob")
+
+
+def main() -> int:
+    print(f"backend: {jax.default_backend()}; devices: {jax.devices()}",
+          flush=True)
+    for fn in (
+        check_voxel_centroids,
+        check_normals,
+        check_rigid_alignment,
+        check_fps_selection,
+        check_inference_precision_drift,
+    ):
+        try:
+            fn()
+        except Exception as e:  # a crashed check is a failure, not a skip
+            print(f"[FAIL] {fn.__name__} crashed: {type(e).__name__}: {e}",
+                  flush=True)
+            _FAILURES.append(fn.__name__)
+    if _FAILURES:
+        print(f"FAILED: {', '.join(_FAILURES)}", flush=True)
+        return 1
+    print("ALL CHECKS PASSED", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
