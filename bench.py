@@ -307,9 +307,21 @@ def bench_e2e_pipeline(batch: int = 256, width_in: int = 2048, width_out: int = 
                           heads=("classification_output", "se3"))
         return out, normals
 
+    # serving-path variant: O(n) Morton-stride stratified sampling instead
+    # of the serial FPS loop (opt-in; covering radius ~1.5-2x exact FPS on
+    # volume data — see ops/fps.py::stride_sample_and_gather)
+    from pointcloudprocessing_tpu.ops import stride_sample_and_gather
+
+    @jax.jit
+    def step_stride(x):
+        vox, mask = voxel_downsample_batch(x, 0.4)
+        _, sampled = stride_sample_and_gather(vox, width_out, mask)
+        return model.apply(variables, sampled, train=False)
+
     dt = _pipelined_time(step, pts, steps)
     dt_n = _pipelined_time(step_with_normals, pts, steps)
-    return batch / dt, batch / dt_n
+    dt_s = _pipelined_time(step_stride, pts, steps)
+    return batch / dt, batch / dt_n, batch / dt_s
 
 
 def main() -> None:
@@ -366,9 +378,10 @@ def main() -> None:
         except Exception as e:
             log(f"{name} failed: {type(e).__name__}: {e}")
     try:
-        e2e, e2e_normals = bench_e2e_pipeline()
+        e2e, e2e_normals, e2e_stride = bench_e2e_pipeline()
         log(f"[*] e2e_pipeline_clouds_per_s: {e2e:.4g}")
         log(f"[*] e2e_with_normals_clouds_per_s: {e2e_normals:.4g}")
+        log(f"[*] e2e_stride_serving_clouds_per_s: {e2e_stride:.4g}")
     except Exception as e:
         log(f"e2e_pipeline failed: {type(e).__name__}: {e}")
 

@@ -9,6 +9,7 @@ from pointcloudprocessing_tpu.ops.voxel import voxel_downsample, voxel_downsampl
 from pointcloudprocessing_tpu.ops.fps import (
     farthest_point_sample,
     farthest_point_sample_and_gather,
+    stride_sample_and_gather,
     farthest_point_sample_batch,
 )
 from pointcloudprocessing_tpu.ops.knn import knn, knn_batch, group_points
@@ -33,6 +34,7 @@ __all__ = [
     "voxel_downsample_batch",
     "farthest_point_sample",
     "farthest_point_sample_and_gather",
+    "stride_sample_and_gather",
     "farthest_point_sample_batch",
     "knn",
     "knn_batch",

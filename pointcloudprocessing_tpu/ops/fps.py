@@ -212,3 +212,67 @@ def farthest_point_sample(
     return farthest_point_sample_batch(
         points[None], num_samples, mask, start_index, method
     )[0]
+
+
+def stride_sample_and_gather(
+    points: jnp.ndarray,
+    num_samples: int,
+    valid_mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """O(n) stratified sampling along the INPUT ORDER — the serving-path
+    alternative to FPS's serial selection loop.
+
+    Measured on v5e (sampler stage over the voxel output): at
+    256x2048->1024 it is at par with the FPS kernel (the banded reduction
+    it rides costs about what FPS does there); at 64x8192->1024 it is
+    ~1.5x faster, and the gap grows with n — FPS is O(k*n) serial,
+    this is O(n).
+
+    On spatially ordered input (the Morton-ordered voxel output,
+    ops/voxel.py) the index axis is a space-filling-curve traversal, so
+    evenly spaced picks along it are a stratified spatial sample —
+    covering radius within ~1.5-2x of exact FPS on volume data
+    (test_preprocess_ops.py). On UNORDERED input this is just a uniform
+    subsample; use FPS there.
+
+    Requires the valid rows to be packed FIRST (true for voxel output)
+    and at least ``num_samples`` of them — with fewer, the bucket map
+    skips values and the skipped output rows are all-zero (mask with the
+    valid count as usual).
+
+    Formulation: valid row j maps to monotone bucket floor(j*k/nv); the
+    first row of each bucket is extracted with the banded 'first'-mode
+    segment reduction (ops/pallas/voxel_reduce.py) — the same machinery as
+    voxel downsampling, no gather/scatter anywhere.
+
+    Returns (indices (b, k) int32, sampled (b, k, 3) f32).
+    """
+    b, n = points.shape[:2]
+    k = num_samples
+    if valid_mask is None:
+        valid_mask = jnp.ones((b, n), bool)
+    nv = jnp.maximum(jnp.sum(valid_mask, axis=1), 1)  # (b,)
+    j = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    bucket = jnp.minimum((j * k) // nv[:, None], k - 1)
+    bucket = jnp.where(valid_mask, bucket, n - 1)  # park invalids at the end
+    is_new = jnp.concatenate(
+        [jnp.ones((b, 1), bool), bucket[:, 1:] != bucket[:, :-1]], axis=1
+    ) & valid_mask
+    w = is_new.astype(points.dtype)
+    data = jnp.concatenate(
+        [points * w[..., None], j.astype(points.dtype)[..., None] * w[..., None]],
+        axis=-1,
+    )
+    if jax.default_backend() in ("tpu", "axon"):
+        from pointcloudprocessing_tpu.ops.pallas.voxel_reduce import (
+            sorted_segment_reduce_pallas,
+        )
+
+        reduced = sorted_segment_reduce_pallas(data, bucket)
+    else:
+        reduced = jax.vmap(
+            lambda d, r: jax.ops.segment_sum(d, r, num_segments=n)
+        )(data, bucket)
+    sampled = reduced[:, :k, :3]
+    idx = reduced[:, :k, 3].astype(jnp.int32)
+    return idx, sampled

@@ -172,8 +172,15 @@ def sorted_segment_reduce_pallas(
     bounds = jnp.concatenate([c_lo, jnp.maximum(c_hi, c_lo)], axis=1)
 
     kernel = functools.partial(_banded_kernel, k_tile=k_tile, chunk=chunk)
+    # the kernel's own blocks are small (~0.5 MB double-buffered), but XLA
+    # promotes the custom call's whole operands/outputs into scoped VMEM
+    # when they fit-ish; at 64x8192 that trips the default 16 MiB scoped
+    # limit — raise the per-kernel cap so placement succeeds
     return pl.pallas_call(
         kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         grid=(b,),
         in_specs=[
             pl.BlockSpec(

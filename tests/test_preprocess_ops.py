@@ -523,3 +523,31 @@ def test_sorted_segment_reduce_banded_matches_dense(rng):
     atol = 30 * 2.0**-16 * (n // 2)
     np.testing.assert_allclose(got, dense, atol=atol)
     np.testing.assert_allclose(got, want, atol=atol)
+
+
+def test_stride_sample_quality_and_mapping(rng):
+    """O(n) stratified sampling on Morton-ordered voxel output: indices
+    map to real valid rows, picks are unique and ordered, and the covering
+    radius stays within 2x of exact FPS on worst-case volume data."""
+    from pointcloudprocessing_tpu.ops.fps import (
+        farthest_point_sample_and_gather,
+        stride_sample_and_gather,
+    )
+    from pointcloudprocessing_tpu.ops import voxel_downsample_batch
+
+    raw = jnp.asarray(rng.uniform(-10, 10, (2, 1024, 3)).astype(np.float32))
+    pts, mask = voxel_downsample_batch(raw, 0.5)
+    k = 64
+    idx_s, sel_s = stride_sample_and_gather(pts, k, mask)
+    _, sel_e = farthest_point_sample_and_gather(pts, k, mask)
+
+    p, m = np.asarray(pts), np.asarray(mask)
+    i_s, s_s = np.asarray(idx_s), np.asarray(sel_s)
+    for c in range(2):
+        assert m[c].sum() >= k  # precondition: enough valid rows
+        np.testing.assert_allclose(p[c][i_s[c]], s_s[c], atol=1e-5)
+        assert m[c][i_s[c]].all()
+        assert len(np.unique(i_s[c])) == k  # one pick per bucket
+        assert (np.diff(i_s[c]) > 0).all()  # strictly ordered along Morton
+        r_exact = _covering_radius(p[c][m[c]], np.asarray(sel_e)[c])
+        assert _covering_radius(p[c][m[c]], s_s[c]) <= 2.0 * r_exact
