@@ -24,9 +24,13 @@ from typing import Iterable, Iterator
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pointcloudprocessing_tpu.models.pointnet import PointNet
-from pointcloudprocessing_tpu.ops.fps import farthest_point_sample_and_gather
+from pointcloudprocessing_tpu.ops.fps import (
+    farthest_point_sample_and_gather,
+    stride_sample_and_gather,
+)
 from pointcloudprocessing_tpu.ops.voxel import voxel_downsample_batch
 
 
@@ -39,9 +43,11 @@ class PointCloudPipeline:
         model_width: int,
         voxel_size: float | None = None,
         use_fps: bool = True,
+        sampler: str | None = None,
         heads: tuple[str, ...] = (
             "classification_output", "segmentation_output", "se3",
         ),
+        mesh: Mesh | None = None,
     ):
         """Args:
         scan_width: fixed input scan size (pad/truncate host-side).
@@ -49,33 +55,71 @@ class PointCloudPipeline:
         voxel_size: optional voxel downsample edge before sampling.
         use_fps: farthest-point sampling to model_width (False = head
           truncation of the voxel output — much faster, less uniform).
+        sampler: overrides ``use_fps`` when given: "fps" (exact), "stride"
+          (O(n) Morton-stride stratified sampling over the voxel output —
+          ops/fps.py, serving-grade spread without the serial loop), or
+          "head" (truncation).
         heads: model outputs to compute; dropping "segmentation_output"
           skips ~80% of the network's FLOPs for classification-only serving.
+        mesh: optional device mesh with a "data" axis for data-parallel
+          serving: each device runs the WHOLE fused program (preprocess +
+          model, including the Pallas kernels) on its batch shard via
+          shard_map — no collectives are needed at inference, so scaling
+          is embarrassing over ICI. Batch size must divide by the mesh's
+          data-axis size. Parameters are used replicated.
         """
         self.scan_width = scan_width
         self.model_width = model_width
+        self.mesh = mesh
 
+        if sampler is None:
+            sampler = "fps" if use_fps else "head"
+        if sampler not in ("fps", "stride", "head"):
+            raise ValueError(f"Unknown sampler {sampler!r}")
+        if sampler == "stride" and voxel_size is None:
+            raise ValueError(
+                "sampler='stride' needs the Morton-ordered voxel output; "
+                "set voxel_size"
+            )
         # FPS from an unmasked full-width scan to the same width is an
         # expensive identity permutation (PointNet is permutation-invariant)
-        fps_is_noop = voxel_size is None and model_width == scan_width
+        if voxel_size is None and model_width == scan_width and sampler == "fps":
+            sampler = "head"
+        self.sampler = sampler
 
         def run(points):
             mask = None
             if voxel_size is not None:
                 points, mask = voxel_downsample_batch(points, voxel_size)
-            if use_fps and not fps_is_noop:
+            if sampler == "fps":
                 # fused sample+gather: on TPU the Pallas FPS kernel emits the
                 # selected coordinates directly (a take_along_axis gather
                 # costs more than the sampling itself)
                 _, sampled = farthest_point_sample_and_gather(
                     points, model_width, mask
                 )
+            elif sampler == "stride":
+                _, sampled = stride_sample_and_gather(points, model_width, mask)
             else:
                 sampled = points[:, :model_width]
             return model.apply(variables, sampled, train=False, heads=tuple(heads))
 
         self.heads = tuple(heads)
-        self._run = jax.jit(run)
+        if mesh is None:
+            self._run = jax.jit(run)
+            self._in_sharding = None
+        else:
+            # shard_map (not bare jit-with-shardings): the program contains
+            # Pallas custom calls, which GSPMD cannot partition — per-shard
+            # execution sidesteps that and is exactly the serving semantics
+            self._run = jax.jit(
+                jax.shard_map(
+                    run, mesh=mesh,
+                    in_specs=P("data"), out_specs=P("data"),
+                    check_vma=False,
+                )
+            )
+            self._in_sharding = NamedSharding(mesh, P("data"))
 
     def __call__(self, scans) -> dict[str, jnp.ndarray]:
         """One batch: (b, scan_width, 3) -> model outputs."""
@@ -84,6 +128,8 @@ class PointCloudPipeline:
             raise ValueError(
                 f"Expected scans of width {self.scan_width}, got {scans.shape[1]}"
             )
+        if self._in_sharding is not None:
+            scans = jax.device_put(scans, self._in_sharding)
         return self._run(scans)
 
     def stream(
@@ -110,7 +156,9 @@ class PointCloudPipeline:
             # iterator raises — otherwise q.get() blocks forever
             try:
                 for batch in batches:
-                    staged = jax.device_put(np.asarray(batch, dtype=np.float32))
+                    staged = jax.device_put(
+                        np.asarray(batch, dtype=np.float32), self._in_sharding
+                    )
                     if not _put(staged):
                         return
             finally:

@@ -50,3 +50,61 @@ def test_stream_early_exit(pipeline, rng):
     gen = pipeline.stream(batches, prefetch=1)
     next(gen)
     gen.close()  # triggers the finally shutdown path
+
+
+def test_data_parallel_mesh_matches_single_device(pipeline, rng):
+    """Sharded serving (shard_map over a 'data' mesh) must reproduce the
+    single-device pipeline bit-for-bit shard by shard: inference has no
+    cross-batch coupling, so per-device programs see identical math."""
+    from jax.sharding import Mesh
+    from pointcloudprocessing_tpu.models.pipeline import PointCloudPipeline
+    from pointcloudprocessing_tpu.models import PointNet
+
+    model = PointNet(num_classes=C, num_parts=P, vanilla=True)
+    dummy = np.zeros((1, MODEL_W, 3), np.float32)
+    variables = model.init(jax.random.key(0), dummy, train=False)
+    variables = {
+        "params": variables["params"], "batch_stats": variables["batch_stats"]
+    }
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded = PointCloudPipeline(
+        model, variables, scan_width=SCAN_W, model_width=MODEL_W,
+        voxel_size=0.3, mesh=mesh,
+    )
+    plain = PointCloudPipeline(
+        model, variables, scan_width=SCAN_W, model_width=MODEL_W,
+        voxel_size=0.3,
+    )
+    scans = rng.uniform(-5, 5, (8, SCAN_W, 3)).astype(np.float32)
+    out_s = sharded(scans)
+    out_p = plain(scans)
+    for k in out_p:
+        np.testing.assert_allclose(
+            np.asarray(out_s[k]), np.asarray(out_p[k]), atol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_stride_sampler_pipeline(pipeline, rng):
+    """The O(n) stride sampler is a valid pipeline configuration."""
+    from pointcloudprocessing_tpu.models.pipeline import PointCloudPipeline
+    from pointcloudprocessing_tpu.models import PointNet
+
+    model = PointNet(num_classes=C, num_parts=P, vanilla=True)
+    dummy = np.zeros((1, MODEL_W, 3), np.float32)
+    variables = model.init(jax.random.key(0), dummy, train=False)
+    variables = {
+        "params": variables["params"], "batch_stats": variables["batch_stats"]
+    }
+    pipe = PointCloudPipeline(
+        model, variables, scan_width=SCAN_W, model_width=MODEL_W,
+        voxel_size=0.3, sampler="stride",
+    )
+    out = pipe(rng.uniform(-5, 5, (B, SCAN_W, 3)).astype(np.float32))
+    assert out["classification_output"].shape == (B, C)
+    # stride needs the voxel order: configuring it without voxel_size fails
+    with pytest.raises(ValueError, match="stride"):
+        PointCloudPipeline(
+            model, variables, scan_width=SCAN_W, model_width=MODEL_W,
+            sampler="stride",
+        )
