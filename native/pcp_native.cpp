@@ -123,6 +123,95 @@ static int vocab_lookup(const Vocab* v, const char* s, int len) {
     return -1;
 }
 
+// Fast decimal parse for the frame format's printf-style floats
+// ([-]ddd[.ddd][e±dd]). strtod was the scanner's whole cost (~81 MB/s
+// measured — locale machinery per token); this path accumulates the
+// mantissa in a uint64 (exact to 19 digits) and scales by a pow10 table
+// (~1 ulp of double — far inside the float32 rounding of the output).
+// Anything unusual (nan/inf/hex/empty) falls back to strtod so semantics
+// are unchanged; the text from ctypes is NUL-terminated, so strtod's
+// unbounded scan is safe.
+static const double kPow10[23] = {
+    1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,
+    1e8,  1e9,  1e10, 1e11, 1e12, 1e13, 1e14, 1e15,
+    1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+
+static inline double parse_coord(const char* p, const char* end,
+                                 const char** next_out) {
+    const char* start = p;
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) {
+        neg = (*p == '-');
+        ++p;
+    }
+    uint64_t mant = 0;
+    int digs = 0, exp10 = 0;
+    bool any = false;
+    while (p < end && *p >= '0' && *p <= '9') {
+        if (digs < 19) {
+            mant = mant * 10u + (uint64_t)(*p - '0');
+            ++digs;
+        } else {
+            ++exp10;  // integer digits beyond exact range
+        }
+        any = true;
+        ++p;
+    }
+    if (p < end && *p == '.') {
+        ++p;
+        while (p < end && *p >= '0' && *p <= '9') {
+            if (digs < 19) {
+                mant = mant * 10u + (uint64_t)(*p - '0');
+                ++digs;
+                --exp10;
+            }
+            any = true;
+            ++p;
+        }
+    }
+    bool fallback = !any;
+    if (!fallback && p < end && (*p == 'e' || *p == 'E')) {
+        ++p;
+        bool eneg = false;
+        if (p < end && (*p == '-' || *p == '+')) {
+            eneg = (*p == '-');
+            ++p;
+        }
+        int ev = 0;
+        bool edig = false;
+        while (p < end && *p >= '0' && *p <= '9') {
+            if (ev < 10000) ev = ev * 10 + (*p - '0');
+            edig = true;
+            ++p;
+        }
+        if (!edig) fallback = true;
+        exp10 += eneg ? -ev : ev;
+    }
+    if (fallback || exp10 > 300 || exp10 < -300) {
+        char* next = nullptr;
+        double v = strtod(start, &next);
+        *next_out = next;
+        return v;
+    }
+    double val = (double)mant;
+    if (exp10 > 0) {
+        while (exp10 > 22) {
+            val *= 1e22;
+            exp10 -= 22;
+        }
+        val *= kPow10[exp10];
+    } else if (exp10 < 0) {
+        int e = -exp10;
+        while (e > 22) {
+            val /= 1e22;
+            e -= 22;
+        }
+        val /= kPow10[e];
+    }
+    *next_out = p;
+    return neg ? -val : val;
+}
+
 // Returns number of parsed lines (points), or -1 on malformed input.
 // Caller provides output arrays sized for max_points.
 int64_t pcp_parse_aftr_frame(
@@ -156,10 +245,10 @@ int64_t pcp_parse_aftr_frame(
 
         double coords[3];
         for (int c = 0; c < 3; ++c) {
-            char* next = nullptr;
-            coords[c] = strtod(p, &next);
+            const char* next = nullptr;
+            coords[c] = parse_coord(p, end, &next);
             if (next == p) {
-                // strtod can't parse "nan"? it can. Fail => malformed.
+                // neither the fast path nor strtod consumed anything
                 return -1;
             }
             p = next;
