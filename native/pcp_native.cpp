@@ -496,4 +496,114 @@ int64_t pcp_read_tfrecord_chunk(
         se3_out, /*stop_at_capacity=*/true, next_offset_out);
 }
 
+
+// ---------------------------------------------------------------------------
+// TFRecord example encoder (schema-specific)
+// ---------------------------------------------------------------------------
+//
+// Byte-identical to data/tfrecord.py::encode_example: an Example proto with
+// the reference's four features (observations f32, class_label i64,
+// part_labels i64, se3 f32) in that map-entry order, int64 lists packed.
+// Returns the encoded length, or -1 if the caller's buffer is too small.
+
+static inline uint8_t* emit_varint(uint8_t* p, uint64_t v) {
+    while (v >= 0x80) {
+        *p++ = (uint8_t)(v | 0x80);
+        v >>= 7;
+    }
+    *p++ = (uint8_t)v;
+    return p;
+}
+
+static inline int varint_len(uint64_t v) {
+    int n = 1;
+    while (v >= 0x80) {
+        v >>= 7;
+        ++n;
+    }
+    return n;
+}
+
+// Feature{ float_list | int64_list } wrapped in a Features.feature map
+// entry under the given key. kind_field: 2 = float_list, 3 = int64_list.
+static uint8_t* emit_map_entry(uint8_t* p, const char* key,
+                               const uint8_t* list_body, uint64_t body_len,
+                               int kind_field) {
+    uint64_t key_len = strlen(key);
+    // inner list message: field 1, wire 2 (packed values)
+    uint64_t list_msg_len = 1 + (uint64_t)varint_len(body_len) + body_len;
+    // Feature message: kind_field, wire 2
+    uint64_t feat_len = 1 + (uint64_t)varint_len(list_msg_len) + list_msg_len;
+    // map entry: key (field 1) + value Feature (field 2)
+    uint64_t entry_len = 1 + (uint64_t)varint_len(key_len) + key_len +
+                         1 + (uint64_t)varint_len(feat_len) + feat_len;
+    p = emit_varint(p, (1u << 3) | 2u);  // Features.feature entry
+    p = emit_varint(p, entry_len);
+    p = emit_varint(p, (1u << 3) | 2u);  // key
+    p = emit_varint(p, key_len);
+    memcpy(p, key, key_len);
+    p += key_len;
+    p = emit_varint(p, (2u << 3) | 2u);  // value (Feature)
+    p = emit_varint(p, feat_len);
+    p = emit_varint(p, ((uint64_t)kind_field << 3) | 2u);  // float/int64 list
+    p = emit_varint(p, list_msg_len);
+    p = emit_varint(p, (1u << 3) | 2u);  // list.value, packed
+    p = emit_varint(p, body_len);
+    memcpy(p, list_body, body_len);
+    p += body_len;
+    return p;
+}
+
+int64_t pcp_encode_example(
+    const float* obs, int64_t n_obs,      // width*3 floats
+    int64_t class_label,
+    const int64_t* parts, int64_t n_parts,
+    const float* se3,                     // 9 floats
+    uint8_t* out, int64_t out_cap
+) {
+    // packed int64 varint bodies
+    uint8_t cls_body[10];
+    uint64_t cls_len =
+        (uint64_t)(emit_varint(cls_body, (uint64_t)class_label) - cls_body);
+    uint8_t* parts_body = (uint8_t*)malloc((size_t)n_parts * 10 + 1);
+    if (!parts_body) return -1;
+    uint8_t* pp = parts_body;
+    for (int64_t i = 0; i < n_parts; ++i)
+        pp = emit_varint(pp, (uint64_t)parts[i]);
+    uint64_t parts_len = (uint64_t)(pp - parts_body);
+
+    // generous bound: floats are memcpy'd, scaffolding < 256 bytes
+    int64_t bound = (int64_t)(n_obs * 4 + 36 + parts_len + cls_len + 512);
+    if (out_cap < bound) {
+        free(parts_body);
+        return -1;
+    }
+
+    uint8_t scratch[64];
+    uint8_t* body = out;  // build features into out + headroom, then frame
+    // features payload goes after a small headroom so the Example header
+    // can be prepended without a second copy
+    uint8_t* f = out + 16;
+    f = emit_map_entry(f, "observations", (const uint8_t*)obs,
+                       (uint64_t)n_obs * 4, 2);
+    f = emit_map_entry(f, "class_label", cls_body, cls_len, 3);
+    f = emit_map_entry(f, "part_labels", parts_body, parts_len, 3);
+    f = emit_map_entry(f, "se3", (const uint8_t*)se3, 36, 2);
+    free(parts_body);
+    uint64_t features_len = (uint64_t)(f - (out + 16));
+
+    // Example: field 1 (features), wire 2
+    uint8_t hdr[16];
+    uint8_t* h = hdr;
+    h = emit_varint(h, (1u << 3) | 2u);
+    h = emit_varint(h, features_len);
+    int64_t hdr_len = (int64_t)(h - hdr);
+    memmove(out + hdr_len, out + 16, features_len);
+    memcpy(out, hdr, (size_t)hdr_len);
+    (void)scratch;
+    (void)body;
+    return hdr_len + (int64_t)features_len;
+}
+
 }  // extern "C"
+

@@ -104,7 +104,14 @@ def encode_example(
     se3: np.ndarray,
 ) -> bytes:
     """Serialize one sample; same feature names/shapes as the reference
-    (PointCloudSet._serialize_sample, :306-323)."""
+    (PointCloudSet._serialize_sample, :306-323). The C++ encoder is
+    byte-identical and ~10x faster (pinned by test_tfrecord); the pure-
+    Python body below is the contract and the fallback."""
+    from pointcloudprocessing_tpu.utils.native import encode_example_native
+
+    native = encode_example_native(observations, class_label, part_labels, se3)
+    if native is not None:
+        return native
     features = b"".join(
         [
             _map_entry("observations", _feature(_float_list(observations.ravel()), 2)),

@@ -77,6 +77,17 @@ def _try_load() -> "ctypes.CDLL | None":
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.pcp_encode_example.restype = ctypes.c_int64
+        lib.pcp_encode_example.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
         lib.pcp_read_tfrecord_file.restype = ctypes.c_int64
         lib.pcp_read_tfrecord_file.argtypes = [
             ctypes.c_char_p,
@@ -266,3 +277,35 @@ def read_tfrecord_chunk_native(
             f"{path}: {_TFRECORD_ERRORS.get(int(n), f'error {n}')}"
         )
     return obs[:n], cls[:n], parts[:n], se3[:n], int(next_offset.value)
+
+
+def encode_example_native(
+    observations: np.ndarray,
+    class_label: int,
+    part_labels: np.ndarray,
+    se3: np.ndarray,
+) -> "bytes | None":
+    """C++ fast path for data/tfrecord.py::encode_example — byte-identical
+    output (same feature order, packed int64 lists). None when the native
+    library is unavailable."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    obs = np.ascontiguousarray(observations, dtype="<f4").ravel()
+    parts = np.ascontiguousarray(part_labels, dtype=np.int64).ravel()
+    se = np.ascontiguousarray(se3, dtype="<f4").ravel()
+    cap = obs.size * 4 + parts.size * 10 + 512
+    out = np.empty(cap, np.uint8)
+    n = lib.pcp_encode_example(
+        obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        obs.size,
+        int(class_label),
+        parts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        parts.size,
+        se.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()

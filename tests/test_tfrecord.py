@@ -136,3 +136,39 @@ def test_negative_int64_roundtrip():
     decoded = tfrecord.decode_example(rec)
     assert decoded["class_label"][0] == -3
     np.testing.assert_array_equal(decoded["part_labels"], [-1, 5])
+
+
+def test_native_encoder_byte_identical(rng):
+    """The C++ example encoder must produce byte-identical output to the
+    pure-Python contract (same map-entry order, packed int64 lists),
+    including multi-byte varints and negative-free large labels."""
+    from pointcloudprocessing_tpu.utils.native import (
+        encode_example_native,
+        native_available,
+    )
+    import pointcloudprocessing_tpu.data.tfrecord as tfr
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    obs = rng.normal(size=(37, 3)).astype(np.float32)
+    parts = rng.integers(0, 300, 37).astype(np.int64)  # multi-byte varints
+    se3 = rng.normal(size=(3, 3)).astype(np.float32)
+    got = encode_example_native(obs, 200, parts, se3)
+
+    features = b"".join(
+        [
+            tfr._map_entry(
+                "observations", tfr._feature(tfr._float_list(obs.ravel()), 2)
+            ),
+            tfr._map_entry("class_label", tfr._feature(tfr._int64_list(200), 3)),
+            tfr._map_entry(
+                "part_labels", tfr._feature(tfr._int64_list(parts.ravel()), 3)
+            ),
+            tfr._map_entry("se3", tfr._feature(tfr._float_list(se3.ravel()), 2)),
+        ]
+    )
+    want = tfr._len_delimited(1, features)
+    assert got == want
