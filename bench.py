@@ -274,8 +274,10 @@ def bench_train_multi_step(
     return batch / float(np.median(per_step))
 
 
-def bench_e2e_pipeline(batch: int = 256, width_in: int = 2048, width_out: int = 1024,
-                       steps: int = 30) -> float:
+def bench_e2e_pipeline(
+    batch: int = 256, width_in: int = 2048, width_out: int = 1024,
+    steps: int = 30,
+) -> tuple[float, float, float]:
     """Streamed scans -> voxel/FPS/normals -> PointNet classify, single fused
     XLA program per batch (config 5)."""
     model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)

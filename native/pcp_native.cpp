@@ -147,8 +147,13 @@ static inline double parse_coord(const char* p, const char* end,
     uint64_t mant = 0;
     int digs = 0, exp10 = 0;
     bool any = false;
+    // leading zeros must not consume the 19-significant-digit budget
+    // ("00000000000000000005" and "0.0000000000000000001234" would
+    // otherwise parse as 0): digs counts SIGNIFICANT digits only
     while (p < end && *p >= '0' && *p <= '9') {
-        if (digs < 19) {
+        if (mant == 0 && *p == '0') {
+            // leading zero: no value, no exponent shift
+        } else if (digs < 19) {
             mant = mant * 10u + (uint64_t)(*p - '0');
             ++digs;
         } else {
@@ -160,7 +165,9 @@ static inline double parse_coord(const char* p, const char* end,
     if (p < end && *p == '.') {
         ++p;
         while (p < end && *p >= '0' && *p <= '9') {
-            if (digs < 19) {
+            if (mant == 0 && *p == '0') {
+                --exp10;  // leading fraction zero: pure exponent shift
+            } else if (digs < 19) {
                 mant = mant * 10u + (uint64_t)(*p - '0');
                 ++digs;
                 --exp10;
@@ -579,8 +586,6 @@ int64_t pcp_encode_example(
         return -1;
     }
 
-    uint8_t scratch[64];
-    uint8_t* body = out;  // build features into out + headroom, then frame
     // features payload goes after a small headroom so the Example header
     // can be prepended without a second copy
     uint8_t* f = out + 16;
@@ -600,8 +605,6 @@ int64_t pcp_encode_example(
     int64_t hdr_len = (int64_t)(h - hdr);
     memmove(out + hdr_len, out + 16, features_len);
     memcpy(out, hdr, (size_t)hdr_len);
-    (void)scratch;
-    (void)body;
     return hdr_len + (int64_t)features_len;
 }
 

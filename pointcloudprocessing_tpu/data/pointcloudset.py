@@ -146,6 +146,14 @@ class PointCloudSet:
 
         self._print(f"Parsing frames in {dir_path}...")
 
+        # per-frame seed base: an unseeded dataset (rand_seed=None) draws a
+        # fresh entropy base per ingest — default_rng(None) semantics —
+        # while a seeded one stays deterministic; SeedSequence rejects None
+        # inside a list, so the base must be resolved up front
+        base_seed = self._random_seed
+        if base_seed is None:
+            base_seed = int(np.random.SeedSequence().entropy) & (2**63 - 1)
+
         def load_frame(i: int):
             frame_path = f"{lidar_dir}/frame_{i}.txt"
             # pose lookup FIRST: a missing pose entry must skip the frame
@@ -157,7 +165,7 @@ class PointCloudSet:
             # per-frame generator seeded on (dataset seed, frame index):
             # deterministic AND order-independent, so the threaded ingest
             # below reproduces the same resample draws at any worker count
-            frame_rng = np.random.default_rng([self._random_seed, i])
+            frame_rng = np.random.default_rng([base_seed, i])
             obs, parts = adjust_to_input_width_np(
                 obs, parts, self._network_input_width, frame_rng
             )

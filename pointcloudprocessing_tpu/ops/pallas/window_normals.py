@@ -99,7 +99,12 @@ def _moment_sums_for_block(
         jnp.where(dm <= m * jnp.float32(2.0 ** (_LEVELS - 1)), one, zero),
         axis=1, keepdims=True,
     )
-    fallback = cnt_top < kf  # not even the widest level reaches k
+    huge_m = jnp.float32(1e37)
+    # fallback when the widest level misses k, AND when m itself is inf (a
+    # query with no valid nonzero-distance candidate): m*2^s = inf would
+    # admit every INVALID dm=inf candidate via inf <= inf, while the huge
+    # finite threshold below selects exactly the valid candidates
+    fallback = jnp.logical_or(cnt_top < kf, m > huge_m)
     lo = jnp.zeros_like(m)
     hi = jnp.full_like(m, float(_LEVELS - 1))
     for _ in range(4):

@@ -105,3 +105,24 @@ def test_write_aftr_frame_validation(tmp_path, capsys):
         str(tmp_path / "f.txt"), np.zeros((3, 3)), np.array(["a"])
     )
     assert "number of labels" in capsys.readouterr().out
+
+
+def test_native_parser_leading_zeros():
+    """Regression: zero-padded and deep-subnormal-looking decimals must
+    not exhaust the fast parser's significant-digit budget (they parsed
+    as 0.0 before the fix)."""
+    from pointcloudprocessing_tpu.utils.native import (
+        parse_aftr_frame_native,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    text = (
+        "(00000000000000000005, 0.0000000000000000001234, "
+        "000000000000000000000.5) kc-46 wing\n"
+    ).encode()
+    xyz, *_ = parse_aftr_frame_native(text, ["kc-46"], ["wing"], 4)
+    np.testing.assert_array_equal(
+        xyz[0], np.float32([5.0, 1.234e-19, 0.5])
+    )

@@ -124,3 +124,21 @@ def test_reference_cloud_files_parse():
     assert pts.shape == (490, 3)
     assert cls == 0
     assert parts.min() >= 0
+
+
+def test_unseeded_ingest(tmp_path):
+    """Regression: rand_seed=None (the default) must not crash the
+    threaded ingest's per-frame seed derivation."""
+    collect = make_collect(str(tmp_path / "in"), num_frames=4, points_per_frame=20)
+    pc = PointCloudSet(
+        name="unseeded",
+        class_labels=CLASS_LABELS,
+        part_labels=PART_LABELS,
+        network_input_width=32,
+        batch_size=2,
+        rand_seed=None,
+        data_path=str(tmp_path / "out") + "/",
+        print_func=lambda *a, **k: None,
+    )
+    assert pc.add_from_aftr_output(collect)
+    assert "Total count" in pc.get_info() or "count" in pc.get_info().lower()

@@ -551,3 +551,17 @@ def test_stride_sample_quality_and_mapping(rng):
         assert (np.diff(i_s[c]) > 0).all()  # strictly ordered along Morton
         r_exact = _covering_radius(p[c][m[c]], np.asarray(sel_e)[c])
         assert _covering_radius(p[c][m[c]], s_s[c]) <= 2.0 * r_exact
+
+
+def test_window_normals_single_valid_point(rng):
+    """Regression: a query whose window holds no valid nonzero-distance
+    candidate (m = inf) must not select padding rows via inf <= inf —
+    the valid point's neighborhood count stays 1."""
+    from pointcloudprocessing_tpu.ops.pallas.window_normals import (
+        windowed_moment_sums,
+    )
+
+    pts = jnp.asarray(rng.normal(size=(1, 512, 3)).astype(np.float32) * 50)
+    mask = jnp.zeros((1, 512), bool).at[0, 0].set(True)
+    cnt = windowed_moment_sums(pts, mask, k=16, window=128, q_block=128)[0]
+    assert float(cnt[0, 0]) == 1.0
