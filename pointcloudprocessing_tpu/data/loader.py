@@ -116,8 +116,25 @@ class DeviceLoader:
         yield from _prefetch_to_device(host_batches, num_steps, device, prefetch)
 
 
-def _prefetch_to_device(host_batches, num_steps, device, prefetch: int = 2):
-    """Stage host batches onto the device from a background thread."""
+class _ProducerFailure:
+    """Queue envelope carrying a producer-thread exception to the consumer
+    (a dead producer must surface its error, not hang ``q.get()``)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def _prefetch_to_device(
+    host_batches, num_steps, device, prefetch: int = 2, pushback=None
+):
+    """Stage host batches onto the device from a background thread.
+
+    ``pushback``: optional callable receiving batches that were pulled from
+    ``host_batches`` but never delivered (consumer abandoned the generator)
+    — lets a persistent stream (StreamingLoader) keep its no-record-dropped
+    contract. Recovered batches may be re-delivered slightly out of order
+    relative to each other, which is harmless downstream of a shuffle.
+    """
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
@@ -142,11 +159,20 @@ def _prefetch_to_device(host_batches, num_steps, device, prefetch: int = 2):
                 batch = next(it)
             except StopIteration:
                 break
-            if device is not None:
-                batch = jax.device_put(batch, device)
-            else:
-                batch = jax.device_put(batch)
+            except BaseException as e:  # forward, never die silently
+                _put(_ProducerFailure(e))
+                return
+            try:
+                if device is not None:
+                    batch = jax.device_put(batch, device)
+                else:
+                    batch = jax.device_put(batch)
+            except BaseException as e:
+                _put(_ProducerFailure(e))
+                return
             if not _put(batch):
+                if pushback is not None:
+                    pushback(batch)  # consumer left: keep the pulled batch
                 return
             produced += 1
         _put(None)
@@ -158,16 +184,30 @@ def _prefetch_to_device(host_batches, num_steps, device, prefetch: int = 2):
             batch = q.get()
             if batch is None:
                 return
+            if isinstance(batch, _ProducerFailure):
+                raise batch.exc
             yield batch
     finally:
         stop.set()
-        # drain so a blocked producer can observe stop and exit
-        while thread.is_alive():
+
+        def _drain_once() -> bool:
             try:
-                q.get_nowait()
+                item = q.get_nowait()
             except queue.Empty:
+                return False
+            if item is not None and not isinstance(item, _ProducerFailure):
+                if pushback is not None:
+                    pushback(item)
+            return True
+
+        # drain so a blocked producer can observe stop and exit; staged
+        # batches the consumer never saw go back via pushback
+        while thread.is_alive():
+            if not _drain_once():
                 thread.join(timeout=0.2)
         thread.join(timeout=1.0)
+        while _drain_once():
+            pass
 
 
 class StreamingLoader:
@@ -215,6 +255,9 @@ class StreamingLoader:
         # repeat()): restarting per epoch would abandon the records sitting in
         # the shuffle buffer, silently skipping ~shuffle_window records/epoch
         self._stream = None
+        # batches staged by prefetch but never delivered (consumer abandoned
+        # a batches() call mid-epoch); re-delivered first on the next call
+        self._pending: list = []
 
     def __len__(self) -> int:
         return self._count
@@ -342,9 +385,10 @@ class StreamingLoader:
                     # buffer full: swap against distinct random slots
                     take = min(m - start, w)
                     slots = rng.choice(w, size=take, replace=False)
+                    # fancy indexing already copies — no extra .copy()
                     yield (
-                        buf_obs[slots].copy(), buf_cls[slots].copy(),
-                        buf_parts[slots].copy(), buf_se3[slots].copy(),
+                        buf_obs[slots], buf_cls[slots],
+                        buf_parts[slots], buf_se3[slots],
                     )
                     buf_obs[slots] = obs[start:start + take]
                     buf_cls[slots] = cls[start:start + take]
@@ -409,8 +453,29 @@ class StreamingLoader:
         if epoch is not None and self._seed is not None:
             rng = np.random.default_rng((self._seed, epoch))
             stream = self._host_batches(rng, single_epoch=True)
-        else:
-            if self._stream is None:
-                self._stream = self._host_batches(self._rng)
-            stream = self._stream
-        yield from _prefetch_to_device(stream, num_steps, device, prefetch)
+            yield from _prefetch_to_device(stream, num_steps, device, prefetch)
+            return
+        if self._stream is None:
+            self._stream = self._host_batches(self._rng)
+
+        def stream_with_pending():
+            # batches recovered from an abandoned batches() call (prefetch
+            # staged them but the consumer left) are delivered first —
+            # keeps the persistent stream's no-record-dropped contract.
+            # NO `yield from self._stream`: closing this throwaway wrapper
+            # (GC after each batches() call) would propagate GeneratorExit
+            # through the delegation and permanently close the persistent
+            # stream; explicit next() pulls leave it suspended instead.
+            while self._pending:
+                yield self._pending.pop(0)
+            while True:
+                try:
+                    item = next(self._stream)
+                except StopIteration:
+                    return
+                yield item
+
+        yield from _prefetch_to_device(
+            stream_with_pending(), num_steps, device, prefetch,
+            pushback=self._pending.append,
+        )

@@ -86,7 +86,6 @@ def _fwd(cfg, x, kernel, scale, bias, run_mean, run_var):
     pooled, mean, var, argmax, xhat_w = _forward(
         cfg, x, kernel, scale, bias, run_mean, run_var
     )
-    eps = cfg[2]
     residuals = (x, kernel, scale, pooled, mean, var, argmax, xhat_w)
     return (pooled, mean, var), residuals
 

@@ -51,7 +51,12 @@ def hidden_point_removal(
     if radius is None:
         radius = float(dists.max()) * 100.0
 
-    flipped = np.asarray(spherical_flip(points, camera, radius))
+    # host-side f64 flip: routing through jnp would silently truncate to
+    # f32 (x64 disabled), and the ~radius-magnitude flipped coordinates
+    # carry depth differences compressed by ~1/200 — Qhull needs the
+    # double precision the casts above establish
+    norm = np.maximum(dists[:, None], 1e-12)
+    flipped = rel + 2.0 * (radius - norm) * rel / norm
     # include the camera origin so the hull encloses the viewpoint
     cloud = np.concatenate([flipped, np.zeros((1, 3))], axis=0)
     hull = ConvexHull(cloud)
@@ -102,10 +107,14 @@ def hidden_point_removal_mask(
       tol: relative depth window counted as the front surface.
     """
     single = points.ndim == 2
+    camera = jnp.asarray(camera)
     if single:
         points = points[None]
-        camera = jnp.asarray(camera)[None]
+        camera = camera[None]
         valid_mask = None if valid_mask is None else valid_mask[None]
+    if camera.ndim == 1:
+        # one viewpoint for a whole batch — the docstring's (3,) case
+        camera = jnp.broadcast_to(camera, (points.shape[0], 3))
     b, n = points.shape[:2]
     if valid_mask is None:
         valid_mask = jnp.ones((b, n), bool)

@@ -112,14 +112,21 @@ class ResumeCheckpoint:
     def save(self, epoch: int, state, history: dict, early: "EarlyStopping") -> None:
         if (epoch + 1) % self.period:
             return
+        # epoch-versioned state dir + atomic meta replace: a crash at ANY
+        # point leaves meta referencing a fully written state (either the
+        # previous pair or the new one) — writing into a fixed "state/"
+        # had a window where a new state sat under a stale meta, silently
+        # replaying epochs on already-advanced weights
+        state_dir = f"state_{epoch + 1}"
         self._ckptr.save(
-            os.path.join(self.directory, "state"),
+            os.path.join(self.directory, state_dir),
             jax.device_get(state),
             force=True,
         )
         self._ckptr.wait_until_finished()
         meta = {
             "next_epoch": epoch + 1,
+            "state_dir": state_dir,
             "history": {k: list(map(float, v)) for k, v in history.items()},
             "early": {
                 "best": early.best,
@@ -131,6 +138,12 @@ class ResumeCheckpoint:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(self.directory, "meta.json"))
+        # drop superseded state dirs now that meta points at the new one
+        for name in os.listdir(self.directory):
+            if name.startswith("state") and name != state_dir:
+                shutil.rmtree(
+                    os.path.join(self.directory, name), ignore_errors=True
+                )
 
     def clear(self) -> None:
         shutil.rmtree(self.directory, ignore_errors=True)
@@ -148,8 +161,10 @@ class ResumeCheckpoint:
         base = os.path.join(os.path.abspath(stage_dir), "resume")
         with open(os.path.join(base, "meta.json")) as f:
             meta = json.load(f)
+        # "state" is the pre-versioning layout (older resume dirs)
+        state_dir = meta.get("state_dir", "state")
         state = ocp.StandardCheckpointer().restore(
-            os.path.join(base, "state"), jax.device_get(state_template)
+            os.path.join(base, state_dir), jax.device_get(state_template)
         )
         return state, meta
 

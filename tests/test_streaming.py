@@ -253,3 +253,52 @@ def test_epoch_addressable_resume_bit_exact(split_files):
     # minus the dropped < batch tail)
     fp = lambda run: [v for x, _ in run for v in x.sum(axis=(1, 2)).round(4)]
     assert max(collections.Counter(fp(run1)).values()) == 1
+
+
+def test_producer_error_propagates(tmp_path):
+    """Regression: an exception in the prefetch producer thread must reach
+    the consumer instead of hanging q.get() forever."""
+    loader = StreamingLoader(
+        [str(tmp_path / "missing.tfrecord")], 8, batch_size=2, count=4,
+        shuffle_window=4, chunk_records=2, seed=0,
+    )
+    # native reader surfaces missing files as ValueError("I/O error"),
+    # the Python fallback as FileNotFoundError — either must propagate
+    with pytest.raises((FileNotFoundError, ValueError)):
+        for _ in loader.batches(num_steps=1):
+            pass
+
+
+def test_abandoned_batches_not_dropped(split_files):
+    """Regression: abandoning a batches() generator mid-iteration must not
+    drop the batches prefetch already staged — over enough subsequent
+    epochs every record still appears."""
+    import collections
+
+    pc = split_files
+    count = pc.split_count("train")
+    loader = StreamingLoader(
+        pc._split_files("train"), WIDTH, batch_size=count,
+        count=count, shuffle_window=16, chunk_records=4, seed=7,
+    )
+    # abandon a call after zero consumption: prefetch may have staged
+    # batches from the persistent stream already
+    gen = loader.batches(num_steps=2, prefetch=2)
+    next(gen)
+    gen.close()
+
+    seen = []
+    for _ in range(4):
+        for x, _t in loader.batches(num_steps=1):
+            seen.extend(np.asarray(x).sum(axis=(1, 2)).round(4).tolist())
+    whole = pc.load_split_arrays("train")
+    want = whole["observations"].sum(axis=(1, 2)).round(4).tolist()
+    # the abandoned call consumed one epoch-equivalent plus staged work;
+    # across abandoned + 4 replayed epochs every record count must be
+    # consistent: nothing lost means total multiset is a union of full
+    # epochs (5 total) minus the one batch the abandoned call delivered
+    got = collections.Counter(seen)
+    full = collections.Counter(want * 5)
+    delivered = full - got
+    # what is missing from 5 full epochs is exactly one batch's worth
+    assert sum(delivered.values()) == count
