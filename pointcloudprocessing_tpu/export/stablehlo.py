@@ -45,7 +45,13 @@ def export_stablehlo(model: PointNet, variables, input_width: int, path: str,
     else:
         batch = batch_size
     spec = jax.ShapeDtypeStruct((batch, input_width, 3), jnp.float32)
-    exported = jax_export.export(jax.jit(infer))(spec)
+    # export for every mainstream backend: without `platforms` the
+    # artifact locks to the EXPORTING platform (tpu under the training
+    # driver) and a cpu/gpu deployment's call() dies with a platform
+    # mismatch — the portability this module exists for
+    exported = jax_export.export(
+        jax.jit(infer), platforms=("cpu", "tpu", "cuda")
+    )(spec)
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)

@@ -154,8 +154,12 @@ def main(argv: list[str] | None = None) -> int:
     served = 0
     try:
         # lockstep producer/consumer: stream() prefetches one batch ahead,
-        # so names are captured per-yield before the pipeline output arrives
-        names_per_batch: list[list[str]] = []
+        # so names are captured per-yield before the pipeline output
+        # arrives; a deque keeps memory O(prefetch) on long runs instead of
+        # accumulating every served batch's names
+        import collections as _collections
+
+        names_per_batch: "_collections.deque[list[str]]" = _collections.deque()
 
         def scans_iter():
             for names, scans in _scan_batches(
@@ -164,8 +168,8 @@ def main(argv: list[str] | None = None) -> int:
                 names_per_batch.append(names)
                 yield scans
 
-        for i, outputs in enumerate(pipe.stream(scans_iter())):
-            names = names_per_batch[i]
+        for outputs in pipe.stream(scans_iter()):
+            names = names_per_batch.popleft()
             cls = seg = se3 = None
             if "classification_output" in outputs:
                 cls = np.argmax(np.asarray(outputs["classification_output"]), -1)

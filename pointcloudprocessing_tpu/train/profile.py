@@ -303,6 +303,27 @@ class TrainProfile:
         pc = self._pc_sets[stage.name]
         stage_dir = f"{cfg.model_path}{self._stage_paths[stage.name]}"
 
+        # completed-stage skip: a rerun after a mid-run kill must not
+        # retrain finished stages (their resume dir is cleared on
+        # completion, so ResumeCheckpoint alone cannot tell). A stage with
+        # its history JSON and best checkpoint on disk and no resume dir is
+        # done — reuse its artifacts and let chaining proceed. Delete the
+        # stage directory to force a retrain.
+        history_path = f"{stage_dir}{cfg.name}_{stage.name}_history.json"
+        if (
+            self.resume
+            and not ResumeCheckpoint.exists(stage_dir)
+            and os.path.isfile(history_path)
+            and os.path.isdir(os.path.join(stage_dir, "best"))
+        ):
+            self._log.info(
+                f"Stage '{stage.name}' already completed "
+                f"(artifacts in {stage_dir}) — skipping; delete the stage "
+                "directory to retrain."
+            )
+            with open(history_path) as f:
+                return json.load(f)
+
         if pc.split_count("train") == 0 or pc.split_count("val") == 0:
             raise RuntimeError(
                 f"Stage '{stage.name}' has no data (train="
@@ -394,14 +415,22 @@ class TrainProfile:
             early.best = meta["early"]["best"]
             early.best_epoch = meta["early"]["best_epoch"]
             early.wait = meta["early"]["wait"]
-            ckpt.best = early.best
             try:  # the restore-best-at-end contract needs the best weights
                 payload = load_checkpoint(stage_dir)
                 early.best_state = state.replace(
                     params=payload["params"], batch_stats=payload["batch_stats"]
                 )
+                ckpt.best = early.best
             except Exception:
-                pass
+                # best/ may not have finished writing before the crash that
+                # triggered this resume: leave ckpt.best at +inf so the
+                # next epoch REWRITES best/ (otherwise a stage whose best
+                # epoch never recurs would finish with no best checkpoint
+                # and the next stage's load would die)
+                self._log.info(
+                    "Best checkpoint unreadable on resume; it will be "
+                    "rewritten at the next epoch."
+                )
             if mesh is not None:
                 state = jax.device_put(state, replicated_sharding(mesh))
             self._log.info(
@@ -436,7 +465,10 @@ class TrainProfile:
                     state, logs = train_step(state, x, targets, rng)
                     batch_logs.append(logs)
                 if profiling:
-                    jax.block_until_ready(state.params)
+                    # a HOST READ, not block_until_ready: the axon tunnel
+                    # is async and block_until_ready returns before remote
+                    # execution finishes (CLAUDE.md), truncating the trace
+                    jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
                     jax.profiler.stop_trace()
                 train_metrics = _epoch_metrics(jax.device_get(batch_logs))
 

@@ -96,3 +96,24 @@ def test_chunked_dispatch_matches_single_step(tmp_path):
             h2[key], h1[key], rtol=1e-5, atol=1e-6,
             err_msg=f"history key {key} diverged under chunked dispatch",
         )
+
+
+def test_completed_stage_skipped_on_rerun(tmp_path):
+    """Regression: rerunning a config whose stage already finished (history
+    JSON + best checkpoint on disk, no resume dir) must reuse the artifacts
+    instead of retraining from epoch 0."""
+    config_path, first = _run(tmp_path)
+    assert first is not None
+
+    import time
+    from pointcloudprocessing_tpu.train.profile import TrainProfile
+
+    t0 = time.perf_counter()
+    tp = TrainProfile(config_path, log_to_file=False)
+    calls = []
+    tp.epoch_callbacks.append(lambda *a: calls.append(a))
+    histories = tp.train()
+    assert calls == []  # no epoch ever ran
+    assert histories["classification_pretrain"]["loss"] == list(
+        map(float, first["loss"])
+    )
