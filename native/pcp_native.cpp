@@ -147,6 +147,15 @@ static inline double parse_coord(const char* p, const char* end,
     uint64_t mant = 0;
     int digs = 0, exp10 = 0;
     bool any = false;
+    // hex floats ("0x1p3") must take the strtod fallback whole: the fast
+    // path would otherwise consume the leading '0' and leave "x1p3"
+    // dangling, rejecting a token strtod accepts (round-2 advisor)
+    if (p + 1 < end && p[0] == '0' && (p[1] == 'x' || p[1] == 'X')) {
+        char* next = nullptr;
+        double v = strtod(start, &next);
+        *next_out = next;
+        return v;
+    }
     // leading zeros must not consume the 19-significant-digit budget
     // ("00000000000000000005" and "0.0000000000000000001234" would
     // otherwise parse as 0): digs counts SIGNIFICANT digits only

@@ -450,11 +450,20 @@ class StreamingLoader:
         """
         if not self._files or self._count == 0:
             return
-        if epoch is not None and self._seed is not None:
+        if (
+            epoch is not None
+            and self._seed is not None
+            and self._count >= self._batch_size
+        ):
             rng = np.random.default_rng((self._seed, epoch))
             stream = self._host_batches(rng, single_epoch=True)
             yield from _prefetch_to_device(stream, num_steps, device, prefetch)
             return
+        # a split smaller than one batch can never fill an epoch-addressable
+        # (drop-remainder) epoch — fall back to the persistent repeat-stream
+        # so a forced-streaming tiny split still trains on real batches (the
+        # reference's tf.data repeat semantics) instead of silently yielding
+        # nothing (round-2 advisor)
         if self._stream is None:
             self._stream = self._host_batches(self._rng)
 

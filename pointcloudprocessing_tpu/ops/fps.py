@@ -235,10 +235,11 @@ def stride_sample_and_gather(
     (test_preprocess_ops.py). On UNORDERED input this is just a uniform
     subsample; use FPS there.
 
-    Requires the valid rows to be packed FIRST (true for voxel output)
-    and at least ``num_samples`` of them — with fewer, the bucket map
-    skips values and the skipped output rows are all-zero (mask with the
-    valid count as usual).
+    Requires the valid rows to be packed FIRST (true for voxel output).
+    With fewer than ``num_samples`` valid rows the bucket map skips output
+    slots; skipped slots are forward-filled with the previous pick
+    (repeating valid points — the same degraded-input semantics as the FPS
+    path), so the output never contains phantom all-zero points.
 
     Formulation: valid row j maps to monotone bucket floor(j*k/nv); the
     first row of each bucket is extracted with the banded 'first'-mode
@@ -259,8 +260,15 @@ def stride_sample_and_gather(
         [jnp.ones((b, 1), bool), bucket[:, 1:] != bucket[:, :-1]], axis=1
     ) & valid_mask
     w = is_new.astype(points.dtype)
+    # channels: xyz, source index, and a filled flag — the flag survives the
+    # segment sum as exactly 1.0 for buckets that received a first row, 0.0
+    # for buckets the nv < k bucket map skipped
     data = jnp.concatenate(
-        [points * w[..., None], j.astype(points.dtype)[..., None] * w[..., None]],
+        [
+            points * w[..., None],
+            j.astype(points.dtype)[..., None] * w[..., None],
+            w[..., None],
+        ],
         axis=-1,
     )
     if jax.default_backend() in ("tpu", "axon"):
@@ -273,6 +281,16 @@ def stride_sample_and_gather(
         reduced = jax.vmap(
             lambda d, r: jax.ops.segment_sum(d, r, num_segments=n)
         )(data, bucket)
-    sampled = reduced[:, :k, :3]
-    idx = reduced[:, :k, 3].astype(jnp.int32)
+    picks = reduced[:, :k, :4]
+    filled = reduced[:, :k, 4:5] > 0.5
+    # forward-fill skipped buckets (nv < k) with the previous pick: an
+    # associative take-right-if-filled scan — no gathers, O(k) vector work
+    def _ffill(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    picks, _ = jax.lax.associative_scan(_ffill, (picks, filled), axis=1)
+    sampled = picks[..., :3]
+    idx = picks[..., 3].astype(jnp.int32)
     return idx, sampled

@@ -118,13 +118,19 @@ def load_off(path: str) -> Mesh:
 
 
 def sample_points_uniformly(
-    mesh: Mesh, number_of_points: int, rng: np.random.Generator | None = None
-) -> np.ndarray:
+    mesh: Mesh,
+    number_of_points: int,
+    rng: np.random.Generator | None = None,
+    return_triangle_indices: bool = False,
+):
     """Uniform area-weighted surface sampling (vectorized).
 
     Matches the semantics of open3d's ``sample_points_uniformly``
     (examples/MeshSampler.py:230): triangles chosen proportionally to area,
-    points placed with uniform barycentric coordinates.
+    points placed with uniform barycentric coordinates. With
+    ``return_triangle_indices`` also returns the (n,) source-triangle index
+    of every sample, so per-triangle annotations (e.g. part labels on a
+    labeled compound mesh) transfer to the sampled cloud.
     """
     gen = rng if rng is not None else np.random.default_rng()
     areas = mesh.triangle_areas()
@@ -141,4 +147,7 @@ def sample_points_uniformly(
     a = mesh.vertices[t[:, 0]]
     b = mesh.vertices[t[:, 1]]
     c = mesh.vertices[t[:, 2]]
-    return a + u * (b - a) + v * (c - a)
+    points = a + u * (b - a) + v * (c - a)
+    if return_triangle_indices:
+        return points, tri_idx
+    return points

@@ -221,6 +221,71 @@ class MeshSampler:
 
         return (np.array(observations), np.array(labels), np.array(position), np.array(dcm))
 
+    def create_labeled_viewpoint_observations(
+        self,
+        n: int,
+        p: int,
+        pad: int,
+        triangle_parts: np.ndarray,
+        dist_range: tuple = (5.0, 10.0),
+        az_range: tuple = (0.0, 359.0),
+        elev_range: tuple = (-5.0, 20.0),
+        camera_rot: float = 0.0,
+        reproject: bool = False,
+    ):
+        """Viewpoint observations with per-point part labels.
+
+        Same pipeline as :meth:`create_viewpoint_observations` (dense
+        uniform sample, per-viewpoint hidden-point removal, shuffle,
+        pad/clip — reference MeshSampler.py:253-312), but the mesh is a
+        labeled compound: ``triangle_parts`` names each triangle's part and
+        every sampled point inherits its source triangle's name through
+        HPR/shuffle/pad, yielding segmentation ground truth the reference
+        obtained from its AftrBurner simulation.
+
+        Returns (observations (n, pad, 3), part_labels (n, pad) object,
+        positions (n, 3), dcms (n, 3, 3)).
+        """
+        observations, parts, position, dcm = [], [], [], []
+        assert self.mesh is not None, "create_labeled_viewpoint_observations: no mesh loaded"
+        triangle_parts = np.asarray(triangle_parts, dtype=object)
+        assert len(triangle_parts) == len(self.mesh.triangles), (
+            "triangle_parts must name every mesh triangle"
+        )
+
+        gen = np.random.default_rng(seed=self._seed)
+        points, tri_idx = sample_points_uniformly(
+            self.mesh, p, gen, return_triangle_indices=True
+        )
+        point_parts = triangle_parts[tri_idx]
+        viewpoints = _viewpoints_from_ranges(gen, n, dist_range, az_range, elev_range)
+        camera_roll = np.array(gen.uniform(low=-camera_rot, high=camera_rot, size=n))
+
+        for i, vp in enumerate(viewpoints):
+            c_r_w = np.asarray(
+                mat_ops.get_dcm_positive_x_pointing_at_origin(vp, camera_roll[i])
+            )
+            visible_idx = hidden_point_removal(points, vp)
+            in_sight = points[visible_idx]
+            in_sight_parts = point_parts[visible_idx]
+            if reproject:
+                in_sight = (c_r_w @ (in_sight.T - vp.reshape(3, 1))).T
+            perm = gen.permutation(len(in_sight))
+            # pad by repeating from the front with the SAME indices for
+            # points and labels (pad_observation semantics, label-aligned)
+            idx = np.asarray(pad_observation(pad, list(perm)), dtype=np.int64)
+            observations.append(in_sight[idx])
+            parts.append(in_sight_parts[idx])
+            position.append(np.zeros(3) if reproject else vp)
+            dcm.append(c_r_w)
+
+        return (
+            np.array(observations),
+            np.array(parts, dtype=object),
+            np.array(position),
+            np.array(dcm),
+        )
+
     def create_full_sample_observations(
         self,
         n: int,

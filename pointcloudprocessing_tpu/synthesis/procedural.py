@@ -102,6 +102,98 @@ def aircraft_like_mesh(
     return compound_mesh(fuselage, wing, tail)
 
 
+def labeled_compound(parts: list[tuple[str, Mesh]]) -> tuple[Mesh, np.ndarray]:
+    """Concatenate named sub-meshes; returns (mesh, part-name per triangle).
+
+    The per-triangle name array composes with
+    ``sample_points_uniformly(..., return_triangle_indices=True)`` to give
+    every sampled surface point the part label of its source component —
+    ground-truth segmentation targets for synthetic training data.
+    """
+    mesh = compound_mesh(*(m for _, m in parts))
+    names = np.concatenate(
+        [np.full(len(m.triangles), name, dtype=object) for name, m in parts]
+    )
+    return mesh, names
+
+
+def _tube_mesh(length: float, radius: float, sides: int = 12) -> Mesh:
+    """Closed axial tube along x, centered at the origin."""
+    ang = np.linspace(0.0, 2 * np.pi, sides, endpoint=False)
+    ring = np.stack([np.cos(ang), np.sin(ang)], axis=-1) * radius
+    front = np.concatenate(
+        [np.full((sides, 1), length / 2.0), ring], axis=1
+    )
+    back = np.concatenate([np.full((sides, 1), -length / 2.0), ring], axis=1)
+    verts = np.concatenate(
+        [front, back, [[length / 2.0, 0, 0]], [[-length / 2.0, 0, 0]]]
+    )
+    faces = []
+    for i in range(sides):
+        j = (i + 1) % sides
+        faces.extend(
+            [
+                [i, sides + i, sides + j],  # barrel quads
+                [i, sides + j, j],
+                [2 * sides, j, i],  # nose fan
+                [2 * sides + 1, sides + i, sides + j],  # tail fan
+            ]
+        )
+    return Mesh(vertices=verts, triangles=np.asarray(faces, dtype=np.int32))
+
+
+def kc46_like_mesh() -> tuple[Mesh, np.ndarray]:
+    """KC-46-like tanker with labeled parts; returns (mesh, triangle parts).
+
+    A procedural stand-in for the reference's AftrBurner KC-46 simulation
+    asset (its kc46 collects are not redistributable —
+    point_cloud_analysis/kc46_lidar_config.json:43-56 names them). Parts use
+    the real kc46 part-label vocabulary (kc46_lidar_config.json:36-42):
+    fuselage tube, swept wing plates, two underslung engine pods, horizontal
+    and vertical stabilizers, and the three-part refueling boom (hull, wing,
+    hose) trailing the tail — proportions roughly match a KC-46 (len ~50 m,
+    span ~48 m) scaled by 1/8 so default MeshSampler viewpoint distances
+    (5-10) frame the craft like the reference collects do.
+    """
+    s = 1.0 / 8.0
+    fuselage = _tube_mesh(50.0 * s, 2.5 * s, sides=14)
+    wing = box_mesh((6.0 * s, 48.0 * s, 0.6 * s))
+    wing.translate(np.array([2.0 * s, 0.0, -1.2 * s]))
+    eng_l = _tube_mesh(5.5 * s, 1.4 * s, sides=10)
+    eng_l.translate(np.array([4.5 * s, -8.0 * s, -3.2 * s]))
+    eng_r = _tube_mesh(5.5 * s, 1.4 * s, sides=10)
+    eng_r.translate(np.array([4.5 * s, 8.0 * s, -3.2 * s]))
+    hstab = box_mesh((4.0 * s, 19.0 * s, 0.45 * s))
+    hstab.translate(np.array([-22.0 * s, 0.0, 1.0 * s]))
+    vstab = box_mesh((5.0 * s, 0.5 * s, 13.0 * s))
+    vstab.translate(np.array([-21.0 * s, 0.0, 7.0 * s]))
+    boom_hull = _tube_mesh(12.0 * s, 0.55 * s, sides=8)
+    boom_hull.rotate(
+        np.array([[np.cos(0.35), 0, -np.sin(0.35)], [0, 1, 0], [np.sin(0.35), 0, np.cos(0.35)]])
+    )
+    boom_hull.translate(np.array([-29.0 * s, 0.0, -3.0 * s]))
+    boom_wing = box_mesh((1.5 * s, 6.0 * s, 0.25 * s))
+    boom_wing.translate(np.array([-31.0 * s, 0.0, -3.5 * s]))
+    boom_hose = _tube_mesh(6.0 * s, 0.22 * s, sides=6)
+    boom_hose.rotate(
+        np.array([[np.cos(0.5), 0, -np.sin(0.5)], [0, 1, 0], [np.sin(0.5), 0, np.cos(0.5)]])
+    )
+    boom_hose.translate(np.array([-36.0 * s, 0.0, -6.0 * s]))
+    return labeled_compound(
+        [
+            ("fuselage", fuselage),
+            ("wing", wing),
+            ("engine", eng_l),
+            ("engine", eng_r),
+            ("hstab", hstab),
+            ("vstab", vstab),
+            ("boom_hull", boom_hull),
+            ("boom_wing", boom_wing),
+            ("boom_hose", boom_hose),
+        ]
+    )
+
+
 def shape_library(n: int) -> dict[str, Mesh]:
     """``n`` geometrically distinct meshes keyed by a stable name.
 

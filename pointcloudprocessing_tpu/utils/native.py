@@ -294,7 +294,11 @@ def encode_example_native(
     obs = np.ascontiguousarray(observations, dtype="<f4").ravel()
     parts = np.ascontiguousarray(part_labels, dtype=np.int64).ravel()
     se = np.ascontiguousarray(se3, dtype="<f4").ravel()
-    cap = obs.size * 4 + parts.size * 10 + 512
+    # mirror the C++ bound check exactly (pcp_native.cpp: bound =
+    # n_obs*4 + 36 + parts_len + cls_len + 512 with parts_len <=
+    # n_parts*10, cls_len <= 10) — a smaller cap made the fast path
+    # permanently return -1 for tiny part counts (round-2 advisor)
+    cap = obs.size * 4 + 36 + parts.size * 10 + 10 + 512
     out = np.empty(cap, np.uint8)
     n = lib.pcp_encode_example(
         obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

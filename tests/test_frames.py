@@ -126,3 +126,19 @@ def test_native_parser_leading_zeros():
     np.testing.assert_array_equal(
         xyz[0], np.float32([5.0, 1.234e-19, 0.5])
     )
+
+
+def test_native_parser_hex_floats():
+    """Regression (round-2 advisor): hex-float tokens ("0x1p3") must route
+    whole to the strtod fallback — the fast path previously consumed the
+    leading '0' and rejected the line as malformed."""
+    from pointcloudprocessing_tpu.utils.native import (
+        parse_aftr_frame_native,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    text = "(0x1p3, -0X1.8p1, 0.5) kc-46 wing\n".encode()
+    xyz, *_ = parse_aftr_frame_native(text, ["kc-46"], ["wing"], 4)
+    np.testing.assert_array_equal(xyz[0], np.float32([8.0, -3.0, 0.5]))

@@ -553,6 +553,26 @@ def test_stride_sample_quality_and_mapping(rng):
         assert _covering_radius(p[c][m[c]], s_s[c]) <= 2.0 * r_exact
 
 
+def test_stride_sample_underfilled(rng):
+    """Regression (round-2 advisor): with fewer valid rows than samples the
+    bucket map skips output slots; those must be forward-filled by
+    repeating valid picks (FPS-path semantics), never phantom zeros."""
+    from pointcloudprocessing_tpu.ops.fps import stride_sample_and_gather
+
+    b, n, k, nv = 2, 256, 64, 13
+    pts = np.zeros((b, n, 3), np.float32)
+    pts[:, :nv] = rng.uniform(1.0, 10.0, (b, nv, 3))  # valid rows packed first
+    mask = np.zeros((b, n), bool)
+    mask[:, :nv] = True
+    idx, sel = stride_sample_and_gather(jnp.asarray(pts), k, jnp.asarray(mask))
+    i, s = np.asarray(idx), np.asarray(sel)
+    for c in range(b):
+        assert (i[c] < nv).all() and (i[c] >= 0).all()  # only valid sources
+        np.testing.assert_allclose(pts[c][i[c]], s[c], atol=1e-6)
+        assert (np.abs(s[c]).sum(axis=-1) > 0).all()  # no all-zero rows
+        assert len(np.unique(i[c])) == nv  # every valid row still picked
+
+
 def test_window_normals_single_valid_point(rng):
     """Regression: a query whose window holds no valid nonzero-distance
     candidate (m = inf) must not select padding rows via inf <= inf —

@@ -302,3 +302,20 @@ def test_abandoned_batches_not_dropped(split_files):
     delivered = full - got
     # what is missing from 5 full epochs is exactly one batch's worth
     assert sum(delivered.values()) == count
+
+
+def test_tiny_split_epoch_mode_still_yields(split_files):
+    """Regression (round-2 advisor): a split smaller than one batch in
+    seeded epoch-addressable mode must fall back to the persistent
+    repeat-stream (a real straddling batch) instead of yielding nothing."""
+    pc = split_files
+    files = pc._split_files("train")
+    count = pc.split_count("train")
+    loader = StreamingLoader(
+        files, WIDTH, batch_size=count + 5, count=count,
+        shuffle_window=16, chunk_records=4, seed=3,
+    )
+    got = list(loader.batches(num_steps=1, epoch=0))
+    assert len(got) == 1
+    x, _t = got[0]
+    assert x.shape[0] == count + 5

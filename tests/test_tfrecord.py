@@ -172,3 +172,42 @@ def test_native_encoder_byte_identical(rng):
     )
     want = tfr._len_delimited(1, features)
     assert got == want
+
+
+def test_native_encoder_fast_path_tiny_parts(rng):
+    """Regression (round-2 advisor): with very few part labels the Python
+    buffer cap undercut the C++ bound check, so the fast path always
+    returned None for those shapes — it must engage (non-None) and stay
+    byte-identical to the Python codec."""
+    from pointcloudprocessing_tpu.utils.native import (
+        encode_example_native,
+        native_available,
+    )
+    import pointcloudprocessing_tpu.data.tfrecord as tfr
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    for n in (1, 2, 5):
+        obs = rng.normal(size=(n, 3)).astype(np.float32)
+        parts = rng.integers(0, 3, n).astype(np.int64)
+        se3 = np.eye(3, dtype=np.float32)
+        got = encode_example_native(obs, 0, parts, se3)
+        assert got is not None, f"fast path defeated at n_parts={n}"
+        # compare against the pure-Python contract body, not
+        # encode_example (which would itself take the native path)
+        features = b"".join(
+            [
+                tfr._map_entry(
+                    "observations", tfr._feature(tfr._float_list(obs.ravel()), 2)
+                ),
+                tfr._map_entry("class_label", tfr._feature(tfr._int64_list(0), 3)),
+                tfr._map_entry(
+                    "part_labels", tfr._feature(tfr._int64_list(parts.ravel()), 3)
+                ),
+                tfr._map_entry("se3", tfr._feature(tfr._float_list(se3.ravel()), 2)),
+            ]
+        )
+        assert got == tfr._len_delimited(1, features)

@@ -18,6 +18,7 @@ Keep every threshold tied to a physical contract (mm, degrees), not to
 
 from __future__ import annotations
 
+import os
 import sys
 import unittest.mock as um
 
@@ -26,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _FAILURES: list[str] = []
 
