@@ -34,6 +34,7 @@ from pointcloudprocessing_tpu.data.frames import (
 )
 from pointcloudprocessing_tpu.data.loader import DeviceLoader, StreamingLoader
 from pointcloudprocessing_tpu.ops.resample import adjust_to_input_width_np
+from pointcloudprocessing_tpu.utils import native
 
 
 class PointCloudSet:
@@ -154,6 +155,19 @@ class PointCloudSet:
         if base_seed is None:
             base_seed = int(np.random.SeedSequence().entropy) & (2**63 - 1)
 
+        set_name = dir_path.rstrip("/").split("/")[-1]
+        if native.native_available():
+            # one-pass C++ ingest: parse -> finite filter -> seeded
+            # resample -> Example encode -> TFRecord framing in one native
+            # call per frame; bytes are identical to the Python chain below
+            # (including the resample draws — the native side carries a
+            # numpy-parity SeedSequence+PCG64)
+            self._ingest_native(
+                lidar_dir, len(lidar_contents), state_info, base_seed,
+                set_name, shuffle_points,
+            )
+            return True
+
         def load_frame(i: int):
             frame_path = f"{lidar_dir}/frame_{i}.txt"
             # pose lookup FIRST: a missing pose entry must skip the frame
@@ -203,7 +217,7 @@ class PointCloudSet:
                     )
 
         self.add_data(
-            dir_path.rstrip("/").split("/")[-1],
+            set_name,
             np.array(observations, dtype=np.float32),
             np.array(class_labels, dtype=np.int64),
             np.array(part_labels, dtype=np.int64),
@@ -211,6 +225,173 @@ class PointCloudSet:
             shuffle_points,
         )
         return True
+
+    def _ingest_native(
+        self,
+        lidar_dir: str,
+        n_frames: int,
+        state_info: dict,
+        base_seed: int,
+        set_name: str,
+        shuffle_points: bool,
+    ) -> None:
+        """Whole-collect ingest through pcp_ingest_frame (one native call
+        per frame), accumulating framed records + census and writing splits
+        via :meth:`_add_encoded`. Output files are byte-identical to the
+        Python chain (threaded-parse -> add_data)."""
+        width = self._network_input_width
+        class_vocab = list(self._class_labels.keys())
+        part_vocab = list(self._part_labels.keys())
+
+        def load_frame(i: int):
+            frame_path = f"{lidar_dir}/frame_{i}.txt"
+            se = state_info[i]["tanker_in_sensor_frame"][:3, :3]
+            with open(frame_path, "rb") as f:
+                raw = f.read()
+            res = native.ingest_frame_native(
+                raw, class_vocab, part_vocab, width, (base_seed, i), se
+            )
+            if res is None:
+                # native call could not complete (allocation): fall back to
+                # the per-frame Python chain — bytes are identical
+                obs, cls, parts = parse_frame_file(
+                    frame_path, self._class_labels, self._part_labels
+                )
+                frame_rng = np.random.default_rng([base_seed, i])
+                obs, parts = adjust_to_input_width_np(obs, parts, width, frame_rng)
+                record = tfrecord.frame_record(
+                    tfrecord.encode_example(
+                        obs, int(cls), parts, se.astype(np.float32)
+                    )
+                )
+                hist = np.bincount(parts, minlength=len(part_vocab)).astype(
+                    np.int64
+                )
+                return record, int(cls), hist
+            status, record, cls_id, hist = res
+            if status:
+                raise FrameError(native.INGEST_STATUS_MESSAGES[status])
+            return record, cls_id, hist
+
+        records: list = []
+        class_ids: list[int] = []
+        part_hists: list[np.ndarray] = []
+
+        def consume(i: int, result_or_exc) -> None:
+            frame_path = f"{lidar_dir}/frame_{i}.txt"
+            if isinstance(result_or_exc, Exception):
+                e = result_or_exc
+                self._print(
+                    f"Failed to add file {frame_path}:\n\t{type(e).__name__} : {e}"
+                )
+                return
+            record, cls_id, hist = result_or_exc
+            records.append(record)
+            class_ids.append(cls_id)
+            part_hists.append(hist)
+
+        def guarded(i: int):
+            try:
+                return load_frame(i)
+            except (FrameError, FileNotFoundError, KeyError) as e:
+                return e
+
+        # chunked batch calls: one native call reads + ingests a few hundred
+        # frames (per-frame Python overhead was ~1/3 of the warm loop);
+        # frames the batch flags are replayed through the per-frame path so
+        # error messages and exception semantics stay exact
+        CHUNK = 256
+        for start in range(0, n_frames, CHUNK):
+            idxs = list(range(start, min(start + CHUNK, n_frames)))
+            pose_ok = np.array(
+                [i in state_info for i in idxs], dtype=np.uint8
+            )
+            se3s = np.zeros((len(idxs), 9), np.float32)
+            for k, i in enumerate(idxs):
+                if pose_ok[k]:
+                    se3s[k] = (
+                        state_info[i]["tanker_in_sensor_frame"][:3, :3]
+                        .astype(np.float32)
+                        .ravel()
+                    )
+            batch = native.ingest_frames_native(
+                [f"{lidar_dir}/frame_{i}.txt" for i in idxs],
+                class_vocab,
+                part_vocab,
+                width,
+                base_seed,
+                start,
+                pose_ok,
+                se3s,
+            )
+            if batch is None:
+                for i in idxs:
+                    consume(i, guarded(i))
+                continue
+            arena, offsets, cids, hists, statuses = batch
+            for k, i in enumerate(idxs):
+                if statuses[k] == 0:
+                    records.append(arena[int(offsets[k]) : int(offsets[k + 1])])
+                    class_ids.append(int(cids[k]))
+                    part_hists.append(hists[k])
+                else:
+                    consume(i, guarded(i))
+
+        self._add_encoded(
+            set_name,
+            records,
+            np.asarray(class_ids, dtype=np.int64),
+            part_hists,
+            shuffle_points,
+        )
+
+    def _add_encoded(
+        self,
+        set_name: str,
+        records: list[bytes],
+        class_ids: np.ndarray,
+        part_hists: list[np.ndarray],
+        shuffle_points: bool = True,
+    ) -> None:
+        """Split pre-framed TFRecord records into test/val/train files —
+        same shuffle draw, split boundaries, census bookkeeping, and output
+        bytes as :meth:`add_data`, without re-encoding."""
+        num = len(records)
+        order = np.arange(num)
+        if shuffle_points and num:
+            order = self._rng.permutation(num)
+
+        n_test = int(np.ceil(num * self._test_amt))
+        n_val = int(np.ceil(num * self._val_amt))
+        splits = {
+            "test": (0, min(n_test, num)),
+            "val": (min(n_test, num), min(n_test + n_val, num)),
+            "train": (min(n_test + n_val, num), num),
+        }
+
+        os.makedirs(f"{self._set_dir}/{set_name}", exist_ok=True)
+
+        part_names = list(self._part_labels.keys())
+        for split, (start, end) in splits.items():
+            path = f"{self._set_dir}/{set_name}/{split}_{self._sets_added}.tfrecord"
+            census = self._data_size[split]
+            with open(path, "wb") as f:
+                for i in range(start, end):
+                    j = int(order[i])
+                    cls_name = self._class_str[int(class_ids[j])]
+                    census["class_count"][cls_name] = (
+                        census["class_count"].get(cls_name, 0) + 1
+                    )
+                    hist = part_hists[j]
+                    for k, lbl in enumerate(part_names):
+                        census["part_count"][lbl] = census["part_count"].get(
+                            lbl, 0
+                        ) + int(hist[k])
+                    f.write(records[j])
+                    census["count"] += 1
+
+        self._sets_added += 1
+        self.save()
 
     def add_data(
         self,

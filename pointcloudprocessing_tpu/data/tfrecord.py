@@ -252,6 +252,19 @@ def decode_example(buf: bytes) -> dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def frame_record(record: bytes) -> bytes:
+    """Frame one serialized record into TFRecord wire bytes (u64 length +
+    masked CRC of the length bytes + payload + masked CRC of the payload) —
+    the exact byte stream TFRecordWriter.write emits."""
+    length = struct.pack("<Q", len(record))
+    return (
+        length
+        + struct.pack("<I", masked_crc32c(length))
+        + record
+        + struct.pack("<I", masked_crc32c(record))
+    )
+
+
 class TFRecordWriter:
     """Drop-in analogue of tf.io.TFRecordWriter (context manager + write)."""
 

@@ -98,6 +98,51 @@ def _try_load() -> "ctypes.CDLL | None":
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.pcp_numpy_uniform.restype = ctypes.c_int64
+        lib.pcp_numpy_uniform.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+        ]
+        lib.pcp_ingest_frame.restype = ctypes.c_int64
+        lib.pcp_ingest_frame.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.pcp_ingest_frames.restype = ctypes.c_int64
+        lib.pcp_ingest_frames.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_uint64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.pcp_read_tfrecord_chunk.restype = ctypes.c_int64
         lib.pcp_read_tfrecord_chunk.argtypes = [
             ctypes.c_char_p,
@@ -313,3 +358,172 @@ def encode_example_native(
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# One-pass frame ingest
+# ---------------------------------------------------------------------------
+
+# status codes from pcp_ingest_frame, mapped to the exact FrameError
+# messages data/frames.py raises on the Python path
+INGEST_STATUS_MESSAGES = {
+    1: "Frame contains labels not in the label maps",
+    2: "Empty frame",
+    3: "Frame has no finite points",
+    4: "Malformed frame text",
+}
+
+
+def seed_entropy_words(seed_ints) -> np.ndarray:
+    """numpy SeedSequence entropy coercion: each int becomes its little-
+    endian uint32 words (at least one word), concatenated in order — the
+    exact word stream SeedSequence(list) pools."""
+    words: list[int] = []
+    for x in seed_ints:
+        x = int(x)
+        if x == 0:
+            words.append(0)
+            continue
+        while x:
+            words.append(x & 0xFFFFFFFF)
+            x >>= 32
+    return np.asarray(words, dtype=np.uint32)
+
+
+def numpy_uniform_native(seed_ints, low: float, high: float, n: int):
+    """Golden-test surface: native uniforms matching
+    ``np.random.default_rng(list(seed_ints)).uniform(low, high, n)`` bit for
+    bit. None when the native library is unavailable."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    entropy = seed_entropy_words(seed_ints)
+    out = np.empty(n, np.float64)
+    lib.pcp_numpy_uniform(
+        entropy.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(entropy),
+        float(low),
+        float(high),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+    )
+    return out
+
+
+def ingest_frame_native(
+    text: bytes,
+    class_vocab: list[str],
+    part_vocab: list[str],
+    width: int,
+    seed_ints,
+    se3: np.ndarray,
+):
+    """One-pass C++ ingest of a frame: parse -> finite filter -> seeded
+    resample -> Example encode -> TFRecord framing.
+
+    Returns ``(status, record, class_id, part_hist)`` where status 0 means
+    record is the framed TFRecord bytes (identical to the Python chain) and
+    statuses 1-4 map to FrameError messages (INGEST_STATUS_MESSAGES).
+    Returns None when the native library is unavailable or the native call
+    could not complete (caller falls back to the Python chain)."""
+    lib = _try_load()
+    if lib is None:
+        return None
+
+    entropy = seed_entropy_words(seed_ints)
+    se = np.ascontiguousarray(se3, dtype="<f4").ravel()
+    if se.size != 9:
+        return None
+    # framed record bound: obs f32 + parts as <=10-byte varints + proto
+    # scaffolding + 16 bytes framing (mirrors the pcp_encode_example bound)
+    cap = width * 12 + width * 10 + 10 + 36 + 512 + 16
+    record = np.empty(cap, np.uint8)
+    hist = np.zeros(max(len(part_vocab), 1), np.int64)
+    class_id = ctypes.c_int32(-1)
+    status = ctypes.c_int32(0)
+
+    n = lib.pcp_ingest_frame(
+        text,
+        len(text),
+        "\n".join(class_vocab).encode(),
+        "\n".join(part_vocab).encode(),
+        width,
+        entropy.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(entropy),
+        se.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        record.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+        ctypes.byref(class_id),
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(part_vocab),
+        ctypes.byref(status),
+    )
+    st = int(status.value)
+    if n < 0:
+        if st in INGEST_STATUS_MESSAGES:
+            return (st, None, None, None)
+        return None  # capacity/alloc issue: fall back to the Python chain
+    return (0, record[:n].tobytes(), int(class_id.value), hist)
+
+
+def ingest_frames_native(
+    paths: list[str],
+    class_vocab: list[str],
+    part_vocab: list[str],
+    width: int,
+    base_seed: int,
+    idx0: int,
+    pose_ok: np.ndarray,
+    se3s: np.ndarray,
+):
+    """Chunked one-pass ingest: one native call reads, parses, resamples,
+    encodes, and frames every file in ``paths`` into a shared arena.
+
+    Returns ``(arena, offsets, class_ids, part_hists, statuses)`` — record k
+    is ``arena[offsets[k]:offsets[k+1]]`` when ``statuses[k] == 0`` (the
+    caller replays failed frames through the per-frame path for exact error
+    semantics). None when the native library is unavailable or the call
+    could not complete."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    n = len(paths)
+    if n == 0:
+        return None
+
+    joined = b"\0".join(p.encode() for p in paths) + b"\0"
+    pose = np.ascontiguousarray(pose_ok, dtype=np.uint8)
+    se = np.ascontiguousarray(se3s, dtype="<f4").reshape(n, 9)
+    # per-frame bound: obs f32 + parts varints (ids < 512 -> <= 2 bytes) +
+    # proto scaffolding + 16 bytes framing
+    per_frame = width * 12 + width * 2 + 600 + 16
+    arena = np.empty(n * per_frame, np.uint8)
+    offsets = np.zeros(n + 1, np.int64)
+    class_ids = np.full(n, -1, np.int32)
+    hists = np.zeros((n, max(len(part_vocab), 1)), np.int64)
+    statuses = np.zeros(n, np.int32)
+
+    rc = lib.pcp_ingest_frames(
+        joined,
+        n,
+        "\n".join(class_vocab).encode(),
+        "\n".join(part_vocab).encode(),
+        width,
+        base_seed,
+        idx0,
+        pose.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        se.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arena.size,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        class_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hists.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(part_vocab),
+        statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc < 0:
+        return None
+    # record slices are views into the arena — the per-frame bound leaves
+    # only ~7% slack over the bytes produced, so keeping the whole arena
+    # alive is cheaper than a trim copy (27 MB/chunk measured)
+    return arena, offsets, class_ids, hists, statuses

@@ -17,6 +17,7 @@ def make_collect(
     class_name: str = "kc-46",
     seed: int = 0,
     name: str = "collect_2026.Jan.01_00.00.00.0000000.UTC",
+    sorted_parts: bool = False,
 ) -> str:
     """Write a synthetic collect directory in the reference's layout:
     Lidar/frame_N.txt files + _palindrome_state__*.log pose log."""
@@ -50,6 +51,10 @@ def make_collect(
         n = points_per_frame + int(rng.integers(-5, 6))
         pts = rng.uniform(-10, 10, (n, 3))
         parts = rng.choice(PART_LABELS, n)
+        if sorted_parts:
+            # real AftrBurner frames come out grouped by part (see the
+            # reference_point_clouds files) — long runs of one label
+            parts = np.sort(parts)
         with open(os.path.join(lidar, f"frame_{i}.txt"), "w") as f:
             for p, part in zip(pts, parts):
                 f.write(f"({p[0]:.3f}, {p[1]:.3f}, {p[2]:.3f}) {class_name} {part}\n")
