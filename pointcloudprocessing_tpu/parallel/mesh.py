@@ -105,3 +105,42 @@ def shard_batch(batch, mesh: Mesh, points_width: int | None = None):
         return jax.device_put(x, data_only)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def make_global_batch(local_batch, mesh: Mesh, points_width: int | None = None):
+    """Multi-host analogue of :func:`shard_batch` (docs/SCALING.md step 2):
+    each process passes only its addressable slice of the global batch
+    (axis 0 = this host's share of the 'data' axis), and
+    ``jax.make_array_from_process_local_data`` assembles the global arrays
+    over the full mesh. On a single-process mesh this is equivalent to
+    :func:`shard_batch`."""
+    data_only = NamedSharding(mesh, P("data"))
+    has_points = "points" in mesh.axis_names
+    data_points = (
+        NamedSharding(mesh, P("data", "points")) if has_points else data_only
+    )
+
+    def put(x):
+        x = np.asarray(x)
+        if (
+            has_points
+            and points_width is not None
+            and x.ndim >= 2
+            and x.shape[1] == points_width
+        ):
+            return jax.make_array_from_process_local_data(data_points, x)
+        return jax.make_array_from_process_local_data(data_only, x)
+
+    return jax.tree_util.tree_map(put, local_batch)
+
+
+def replicate_from_local(tree, mesh: Mesh):
+    """Multi-host analogue of :func:`shard_train_state`: every process holds
+    the full value (e.g. a TrainState built from the same seed) and the
+    result is replicated over the global mesh."""
+    rep = replicated_sharding(mesh)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
