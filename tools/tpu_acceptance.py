@@ -190,6 +190,40 @@ def check_inference_precision_drift() -> None:
     check("inference default-vs-exact drift", drift, 1e-2, "prob")
 
 
+def check_shardmap_pipeline() -> None:
+    """The fused serving pipeline (voxel -> FPS -> PointNet, with its Pallas
+    custom calls) run under ``shard_map`` on a real-chip mesh must match the
+    plain single-device program bit-for-bit. test_pipeline.py pins this on
+    the 8-device CPU mesh in interpret mode only; this check exercises the
+    custom-call path through shard_map on TPU hardware (1-device "data"
+    mesh — the per-shard program is identical to the multi-chip one, there
+    are no collectives at inference)."""
+    from jax.sharding import Mesh
+
+    from pointcloudprocessing_tpu.models import PointNet
+    from pointcloudprocessing_tpu.models.pipeline import PointCloudPipeline
+
+    model = PointNet(num_classes=23, num_parts=12)
+    rng = np.random.default_rng(7)
+    scans = rng.uniform(-12, 12, (8, 2048, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(scans[:1, :1024]),
+                           train=False)
+
+    kwargs = dict(scan_width=2048, model_width=1024, voxel_size=0.4,
+                  sampler="fps")
+    plain = PointCloudPipeline(model, variables, **kwargs)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    sharded = PointCloudPipeline(model, variables, mesh=mesh, **kwargs)
+
+    o_p = plain(scans)
+    o_s = sharded(scans)
+    drift = max(
+        float(jnp.max(jnp.abs(o_p[k] - o_s[k])))
+        for k in ("classification_output", "segmentation_output")
+    )
+    check("shard_map-vs-plain pipeline drift", drift, 0.0, "prob")
+
+
 def main() -> int:
     print(f"backend: {jax.default_backend()}; devices: {jax.devices()}",
           flush=True)
@@ -199,6 +233,7 @@ def main() -> int:
         check_rigid_alignment,
         check_fps_selection,
         check_inference_precision_drift,
+        check_shardmap_pipeline,
     ):
         try:
             fn()
