@@ -373,6 +373,8 @@ def main() -> None:
         ("train_scan32_clouds_per_s_b32", bench_train_multi_step),
         ("train_scan32_bf16_clouds_per_s_b32",
          lambda: bench_train_multi_step(dtype=jnp.bfloat16)),
+        ("train_scan64_bf16_clouds_per_s_b32",
+         lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16)),
         ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
     ]:
         try:

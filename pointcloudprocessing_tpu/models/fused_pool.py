@@ -38,11 +38,72 @@ def _norm_scale(var, eps, dtype):
     return jax.lax.rsqrt((var + eps).astype(dtype))
 
 
+#: test hook — force the Pallas path (interpret-mode on CPU) regardless of
+#: backend/dtype so the dispatch branches can be validated everywhere.
+_FORCE_PALLAS = False
+
+
+def _use_pallas(cfg, x, kernel) -> bool:
+    """TPU training path: keep every (b, n, C) intermediate in VMEM via the
+    Pallas kernels (ops/pallas/pooled_chain.py). Only for batch-stats mode
+    in bf16 on lane-aligned shapes — everything else (eval, frozen, f32
+    parity mode, odd shapes, CPU) keeps the jnp formulation below."""
+    use_running, _, _, dtype = cfg
+    if use_running:
+        return False
+    if _FORCE_PALLAS:
+        return True
+    if dtype != jnp.bfloat16:
+        return False
+    from pointcloudprocessing_tpu.ops.pallas import pooled_chain
+
+    if pooled_chain._interpret():
+        return False
+    b, n, c_in = x.shape
+    return pooled_chain.supported(b, n, c_in, kernel.shape[1])
+
+
 def _forward(cfg, x, kernel, scale, bias, run_mean, run_var):
     """Returns (pooled (b, c), batch_mean, batch_var, argmax, xhat_w)."""
     use_running, _, eps, dtype = cfg
     cdtype = dtype or x.dtype
     b, n, _ = x.shape
+
+    if _use_pallas(cfg, x, kernel):
+        from pointcloudprocessing_tpu.ops.pallas.pooled_chain import (
+            pooled_chain_forward,
+        )
+
+        num = b * n
+        xb = x.astype(cdtype)
+        # batch statistics from the Gram matrix — no (b, n, C) pass:
+        #   E[pre]   = (1^T x) W / N
+        #   E[pre^2] = diag(W^T (x^T x) W) / N
+        # x^T x is exact for bf16 inputs (single-pass products, f32
+        # accumulation); the small (c_in, c_in) contractions are pinned to
+        # full f32 precision — their E[pre^2] - E[pre]^2 cancellation would
+        # otherwise inherit the default bf16-pass error.
+        x2 = xb.reshape(-1, x.shape[-1])
+        xsum = jnp.sum(x2.astype(jnp.float32), axis=0)
+        gram = jax.lax.dot_general(
+            x2, x2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        kf = kernel.astype(jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            gw = gram @ kf  # (c_in, c)
+            mean = (xsum @ kf) / num
+        var = jnp.sum(gw * kf, axis=0) / num - jnp.square(mean)
+        inv = _norm_scale(var, eps, jnp.float32)
+        a = scale * inv
+        c_row = bias - mean * a
+        pooled, argmax = pooled_chain_forward(xb, kernel, a, c_row)
+        # winner xhat reconstructs from the pooled output: y_w = pooled
+        # wherever pooled > 0, and the backward gates on pooled > 0, so the
+        # value where pooled == 0 (or gamma == 0) is never used.
+        safe = jnp.where(scale == 0.0, 1.0, scale)
+        xhat_w = jnp.where(scale == 0.0, 0.0, (pooled - bias) / safe)
+        return pooled, mean, var, argmax, xhat_w.astype(jnp.float32)
 
     pre = jnp.dot(x.astype(cdtype), kernel.astype(cdtype))  # (b, n, C)
     if use_running:
@@ -115,6 +176,40 @@ def _bwd(cfg, residuals, cotangents):
     else:
         sum1 = jnp.sum(dy_w, axis=0)  # Sum dy
         sum2 = jnp.sum(dy_w * xhat_w, axis=0)  # Sum dy*xhat
+
+    if _use_pallas(cfg, x, kernel):
+        from pointcloudprocessing_tpu.ops.pallas.pooled_chain import (
+            pooled_chain_backward,
+        )
+
+        # dense batch-stats term, factored through the matmul (same algebra
+        # as the jnp branch below); the kernel fuses it into the dx tiles.
+        # xsum/xtx for the dense dW term are one cheap (b*n, c_in) pass.
+        q = -(s * sum2 * inv) / num
+        m_small = (kernel * q[None, :]) @ kernel.T
+        const_row = (-(s * sum1) / num + mean * inv * s * sum2 / num) @ kernel.T
+        xb = x.astype(cdtype)
+        x2 = xb.reshape(-1, x.shape[-1])
+        xsum = jnp.sum(x2.astype(jnp.float32), axis=0)
+        xtx = jax.lax.dot_general(
+            x2, x2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx, dk_sparse = pooled_chain_backward(
+            xb, kernel, coef, argmax, m_small, const_row
+        )
+        dk_dense = -(
+            jnp.outer(xsum, s * sum1)
+            + (xtx @ kernel - jnp.outer(xsum, mean)) * (inv * s * sum2)[None, :]
+        ) / num
+        return (
+            dx.astype(x.dtype),
+            (dk_sparse + dk_dense).astype(kernel.dtype),
+            dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype),
+            jnp.zeros_like(mean),
+            jnp.zeros_like(var),
+        )
 
     # sparse term: A[b, i, c] = onehot * coef -> contributes to dx and dW
     onehot = (

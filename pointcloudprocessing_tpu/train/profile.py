@@ -189,8 +189,10 @@ class TrainProfile:
         # train steps per device dispatch (lax.scan over stacked batches —
         # numerically identical to sequential steps, amortizes the per-call
         # host overhead; ~2x at batch 32 through the remote tunnel, still
-        # improving at 32 steps/dispatch: 8.6k -> 16.5k clouds/s bf16)
-        self.steps_per_dispatch: int = 32
+        # improving at 64 steps/dispatch: scan-32 18.4k, scan-64 20.4k,
+        # scan-128 21.3k clouds/s bf16 — 64 balances the win against the
+        # stacked-batch tail waste on short epochs)
+        self.steps_per_dispatch: int = 64
 
     # ------------------------------------------------------------------
 

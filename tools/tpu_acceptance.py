@@ -224,6 +224,67 @@ def check_shardmap_pipeline() -> None:
     check("shard_map-vs-plain pipeline drift", drift, 0.0, "prob")
 
 
+def check_pooled_chain_training() -> None:
+    """The Pallas fused pooled-chain training path (models/fused_pool.py ->
+    ops/pallas/pooled_chain.py) on real hardware vs the jnp formulation of
+    the same bf16 custom VJP. test_pooled_chain.py pins this in interpret
+    mode on CPU; Mosaic lowering (packed-int max, bitcasts) must agree on
+    the actual chip. Gradients compare in aggregate Frobenius (the packed
+    argmax rounds the pooled value to 23 - log2(n) mantissa bits)."""
+    from pointcloudprocessing_tpu.core.constants import KERAS_BN_EPSILON
+    from pointcloudprocessing_tpu.models import fused_pool
+
+    rng = np.random.default_rng(3)
+    b, n, cin, c = 8, 1024, 128, 1024
+    x = jnp.asarray(rng.normal(size=(b, n, cin)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(cin, c)).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, c).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=c).astype(np.float32) * 0.2)
+    cfg_bf16 = (False, 0.99, KERAS_BN_EPSILON, jnp.bfloat16)
+    cfg_f32 = (False, 0.99, KERAS_BN_EPSILON, None)
+    zeros, ones = jnp.zeros(c), jnp.ones(c)
+
+    def make_loss(cfg):
+        def loss(kernel, scale, bias):
+            out, _, _ = fused_pool.dense_bn_relu_max(
+                cfg, x, kernel, scale, bias, zeros, ones
+            )
+            return jnp.mean(jnp.square(out))
+        return loss
+
+    assert fused_pool._use_pallas(cfg_bf16, x.astype(jnp.bfloat16), kernel), (
+        "Pallas pooled-chain path not active on this backend/shape"
+    )
+    got = jax.jit(jax.grad(make_loss(cfg_bf16), argnums=(0, 1, 2)))(
+        kernel, scale, bias)
+    orig = fused_pool._use_pallas
+    fused_pool._use_pallas = lambda *a: False
+    try:
+        ref = jax.jit(jax.grad(make_loss(cfg_bf16), argnums=(0, 1, 2)))(
+            kernel, scale, bias)
+        want = jax.jit(jax.grad(make_loss(cfg_f32), argnums=(0, 1, 2)))(
+            kernel, scale, bias)
+    finally:
+        fused_pool._use_pallas = orig
+
+    def fro(a, b):
+        a = np.asarray(a, dtype=np.float32)
+        b = np.asarray(b, dtype=np.float32)
+        return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6))
+
+    # both bf16 paths carry winner-rounding noise, so they diverge from
+    # EACH OTHER by ~sqrt(2)x their individual f32 distance; the meaningful
+    # hardware assertion is that the Pallas path lands no farther from the
+    # exact f32 gradient than the jnp bf16 path it replaces (+ margin)
+    worst_gap = max(
+        fro(g, w) - fro(r, w) for g, r, w in zip(got, ref, want)
+    )
+    check("pooled-chain Pallas-vs-f32 grad excess over jnp-bf16",
+          worst_gap, 0.05, "rel")
+    check("pooled-chain Pallas-vs-f32 grad Frobenius",
+          max(fro(g, w) for g, w in zip(got, want)), 0.25, "rel")
+
+
 def main() -> int:
     print(f"backend: {jax.default_backend()}; devices: {jax.devices()}",
           flush=True)
@@ -234,6 +295,7 @@ def main() -> int:
         check_fps_selection,
         check_inference_precision_drift,
         check_shardmap_pipeline,
+        check_pooled_chain_training,
     ):
         try:
             fn()
