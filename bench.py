@@ -77,7 +77,7 @@ def _tie(out_tree, x):
     return x + total * 1e-24
 
 
-def bench_infer(batch_size: int, width: int, precision: str, steps: int = 30,
+def bench_infer(batch_size: int, width: int, precision: str, steps: int = 60,
                 heads=("classification_output", "segmentation_output", "se3")) -> float:
     model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)
     pts = jnp.asarray(
@@ -171,28 +171,45 @@ def bench_latency_on_device(width: int = 1024, chain: int = 500, reps: int = 5) 
     return float(per_step / chain * 1e3)
 
 
-def bench_preprocess(batch: int = 8, width: int = 8192, steps: int = 50) -> float:
+def bench_preprocess(batch: int = 8, width: int = 8192, steps: int = 240,
+                     chunk: int = 16, window: int = 256) -> float:
     """Voxel downsample + kNN PCA normals, Mpoints/sec (config 2 shape: one
-    F-15 LiDAR scan is 8192 points)."""
+    F-15 LiDAR scan is 8192 points).
+
+    Plane-major (b, 3, n) end to end — the sort emits coordinate planes and
+    the Pallas kernels consume them, so no (b, n, 3) relayout copy exists
+    anywhere. ``chunk`` batches ride one dispatch via ``lax.scan``
+    (amortizes the ~2 ms host/tunnel submission per dispatch, same as the
+    training loop's steps_per_dispatch), and ``steps`` must be large:
+    the ONE ~25 ms rtt sync per chain costs rtt/steps per step — at the
+    old steps=50 that was a 0.5 ms/step bias on a 1.2 ms device step."""
     pts = jnp.asarray(
-        np.random.default_rng(0).uniform(-30, 30, (batch, width, 3)).astype(np.float32)
+        np.random.default_rng(0)
+        .uniform(-30, 30, (chunk, batch, width, 3))
+        .astype(np.float32)
     )
 
     @jax.jit
-    def step(x):
-        vox, mask = voxel_downsample_batch(x, 0.5)
-        # windowed Pallas path: voxel output is Morton-ordered, so the
-        # kernel's index-window candidate set is spatially valid (median
-        # angle error vs exact < 0.5 deg, test_preprocess_ops.py)
-        normals = estimate_normals_batch(vox, k=16, valid_mask=mask, method="window")
-        return vox, normals
+    def multi(xs):
+        def body(carry, x):
+            vox, mask = voxel_downsample_batch(x, 0.5, layout="bcn")
+            # windowed Pallas path: voxel output is Morton-ordered, so the
+            # kernel's index-window candidate set is spatially valid (median
+            # angle error vs exact < 0.5 deg, test_preprocess_ops.py)
+            normals = estimate_normals_batch(
+                vox, k=16, valid_mask=mask, method="window", layout="bcn",
+                window=window,
+            )
+            return carry, (vox, normals)
+        _, outs = jax.lax.scan(body, 0, xs)
+        return outs
 
-    dt = _pipelined_time(step, pts, steps)
+    dt = _pipelined_time(multi, pts, max(steps // chunk, 2)) / chunk
     return batch * width / dt / 1e6
 
 
 def bench_train_step(
-    batch: int = 32, width: int = 1024, steps: int = 20, dtype=None
+    batch: int = 32, width: int = 1024, steps: int = 100, dtype=None
 ) -> float:
     """Full train step (jitter+fwd+bwd+Adam), T-Net regularization on
     (config 3). ``dtype=bfloat16`` runs the trunk in MXU-native precision
@@ -276,7 +293,7 @@ def bench_train_multi_step(
 
 def bench_e2e_pipeline(
     batch: int = 256, width_in: int = 2048, width_out: int = 1024,
-    steps: int = 30,
+    steps: int = 90,
 ) -> tuple[float, float, float]:
     """Streamed scans -> voxel/FPS/normals -> PointNet classify, single fused
     XLA program per batch (config 5)."""

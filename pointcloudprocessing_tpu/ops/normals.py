@@ -191,33 +191,39 @@ def _orient_to_viewpoint(normals, points, viewpoint):
     return normals * jnp.where(sign == 0, 1.0, sign)
 
 
-def _estimate_normals_window(points, valid_mask, k, viewpoint, window=256):
+def _estimate_normals_window(points, valid_mask, k, viewpoint, window=256,
+                             layout="bnc"):
     """Batched windowed-kNN normals via the Pallas moment-sum kernel.
 
     Points must be in a spatially local index order (see estimate_normals).
     The kernel consumes per-cloud CENTERED coordinates (f32 cancellation)
     and returns masked first/second moment sums; the covariance assembly
     and closed-form eigen-solve run here, elementwise in XLA.
+
+    ``layout='bcn'`` takes plane-major (b, 3, n) points and returns
+    plane-major (b, 3, n) normals — the kernel's native orientation; the
+    'bnc' path pays (b, n, 3) transpose copies on entry and exit.
     """
     from pointcloudprocessing_tpu.ops.pallas.window_normals import (
         windowed_moment_sums,
     )
 
-    n_in = points.shape[1]
+    planes = points if layout == "bcn" else jnp.moveaxis(points, -1, 1)
+    n_in = planes.shape[2]
     n = max(-(-n_in // 128) * 128, 128)
     if n != n_in:  # pad to the kernel's lane granularity with invalid rows
-        pad = [(0, 0), (0, n - n_in)]
-        points = jnp.pad(points, pad + [(0, 0)])
-        valid_mask = jnp.pad(valid_mask, pad)
+        planes = jnp.pad(planes, [(0, 0), (0, 0), (0, n - n_in)])
+        valid_mask = jnp.pad(valid_mask, [(0, 0), (0, n - n_in)])
     q_block = 256 if n % 256 == 0 else 128
     window = min(window, (n - q_block) // 2 // 128 * 128)
-    denom = jnp.maximum(jnp.sum(valid_mask, axis=1, dtype=points.dtype), 1.0)
+    denom = jnp.maximum(jnp.sum(valid_mask, axis=1, dtype=planes.dtype), 1.0)
     centroid = jnp.sum(
-        jnp.where(valid_mask[..., None], points, 0.0), axis=1
+        jnp.where(valid_mask[:, None, :], planes, 0.0), axis=2
     ) / denom[:, None]
-    centered = points - centroid[:, None, :]
+    centered = planes - centroid[:, :, None]
     cnt, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz = windowed_moment_sums(
-        centered, valid_mask, k, window=window, q_block=q_block
+        centered, valid_mask, k, window=window, q_block=q_block,
+        layout="bcn",
     )
     cnt = jnp.maximum(cnt, 1.0)
     mx, my, mz = sx / cnt, sy / cnt, sz / cnt
@@ -229,10 +235,13 @@ def _estimate_normals_window(points, valid_mask, k, viewpoint, window=256):
         syz / cnt - my * mz,
         szz / cnt - mz * mz,
     )
-    normals = jnp.stack([vx, vy, vz], axis=-1)
+    normals = jnp.stack([vx, vy, vz], axis=1)  # (b, 3, n)
     if viewpoint is not None:
-        normals = _orient_to_viewpoint(normals, points, viewpoint)
-    return normals[:, :n_in]
+        to_view = viewpoint[..., :, None] - planes
+        sign = jnp.sign(jnp.sum(normals * to_view, axis=1, keepdims=True))
+        normals = normals * jnp.where(sign == 0, 1.0, sign)
+    normals = normals[:, :, :n_in]
+    return normals if layout == "bcn" else jnp.moveaxis(normals, 1, -1)
 
 
 def estimate_normals_batch(
@@ -243,13 +252,23 @@ def estimate_normals_batch(
     exact: bool = False,
     method: str | None = None,
     window: int = 256,
+    layout: str = "bnc",
 ):
+    """Batched :func:`estimate_normals`. ``layout='bcn'`` takes and returns
+    plane-major (b, 3, n) arrays (window method only — the layout the
+    Pallas kernel consumes natively; pairs with
+    ``voxel_downsample_batch(layout='bcn')`` for a copy-free pipeline)."""
+    if layout not in ("bnc", "bcn"):
+        raise ValueError(f"Unknown layout {layout!r}")
+    if layout == "bcn" and method != "window":
+        raise ValueError("layout='bcn' is only supported for method='window'")
     if valid_mask is None:
-        valid_mask = jnp.ones(points.shape[:2], bool)
+        n_axis = points.shape[2] if layout == "bcn" else points.shape[1]
+        valid_mask = jnp.ones((points.shape[0], n_axis), bool)
     if method == "window":
         # natively batched (Pallas grid over clouds) — no vmap
         return _estimate_normals_window(points, valid_mask, k, viewpoint,
-                                        window=window)
+                                        window=window, layout=layout)
     if method is not None:
         exact = {"exact": True, "approx": False}[method]
     if viewpoint is None:

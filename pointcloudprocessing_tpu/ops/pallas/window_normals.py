@@ -46,6 +46,147 @@ def _interpret() -> bool:
 # squared distance (64x in radius — beyond any sane scan density profile)
 _LEVELS = 12
 
+_INF_BITS = 0x7F800000  # +inf
+_VALID_MAX_BITS = 0x7F000000  # 2^127, largest threshold (fallback: all valid)
+_CAP_BITS = (127 + 60) << 23  # cap the base at 2^60 so +11 levels can't hit inf
+
+
+def _moment_sums_for_block_v2(
+    cx_ref, cy_ref, cz_ref, valid_ref, q0, start,
+    *, q_block: int, c: int, k: int,
+):
+    """(Q, 10) moment sums — integer-bit threshold search + MXU distances.
+
+    Replaces the v1 float search with two structural changes, both exact:
+
+    - Distances through the MXU: per-block-shifted coordinates are split
+      hi/lo in bf16 and contracted as one (Q, 6) @ (6, C) matmul —
+      (qh+ql)·(ph+pl) expands to all four partial products inside the f32
+      accumulator, so q·p carries ~2^-30 relative error. The VPU sees only
+      the 2-op combine d = qn + pn - 2qp instead of the 8-op direct
+      (q-p)^2 build. Rounding can leave self-distances at ~|q|^2 2^-24
+      instead of exactly 0, so the query column is masked by INDEX and a
+      noise floor (extent^2 2^-18) guards the nearest-neighbor base
+      against duplicate/noise collapse.
+    - The count-threshold search in integer bit space: for nonnegative
+      finite f32, the bit pattern orders like the float, and adding
+      (s << 23) to a float's bits multiplies it by exactly 2^s. So
+      ``d <= m 2^s`` is ONE int32 compare against ``rm + (s << 23)`` —
+      no mul, no exp2, no float select per probe. The half-level refine
+      subtracts (1 << 22) from the threshold bits (a factor in
+      [0.667, 0.833] depending on the mantissa — same role as the v1
+      sqrt(1/2) step, count-verified). The v1 explicit top-level
+      fallback probe is folded into the final count: if the widest level
+      misses k, the threshold opens to every valid candidate, matching
+      the brute-force path's kth = inf behavior.
+    """
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    px = cx_ref[0, 0:1, pl.ds(start, c)]
+    py = cy_ref[0, 0:1, pl.ds(start, c)]
+    pz = cz_ref[0, 0:1, pl.ds(start, c)]
+    pv = valid_ref[0, 0:1, pl.ds(start, c)] > 0.5
+
+    # per-block shift (valid-candidate mean): bounds feature magnitudes by
+    # the window's physical extent AND conditions the expanded-form
+    # distances (cancellation error scales with extent^2, not cloud^2)
+    pvf = jnp.where(pv, one, zero)
+    nv = jnp.maximum(jnp.sum(pvf, axis=1, keepdims=True), one)
+    shx = jnp.sum(px * pvf, axis=1, keepdims=True) / nv  # (1, 1)
+    shy = jnp.sum(py * pvf, axis=1, keepdims=True) / nv
+    shz = jnp.sum(pz * pvf, axis=1, keepdims=True) / nv
+    ax = px - shx
+    ay = py - shy
+    az = pz - shz
+    qx = jnp.swapaxes(cx_ref[0, 0:1, pl.ds(q0, q_block)], 0, 1) - shx
+    qy = jnp.swapaxes(cy_ref[0, 0:1, pl.ds(q0, q_block)], 0, 1) - shy
+    qz = jnp.swapaxes(cz_ref[0, 0:1, pl.ds(q0, q_block)], 0, 1) - shz
+
+    # hi/lo bf16 split -> ONE (Q, 12) @ (12, C) MXU pass carrying all four
+    # hi/lo partial products (qh+ql).(ph+pl) in the f32 accumulator:
+    # q12 = [qh, qh, ql, ql], p12 = [ph; pl; ph; pl]
+    q3 = jnp.concatenate([qx, qy, qz], axis=1)  # (Q, 3)
+    p3 = jnp.concatenate([ax, ay, az], axis=0)  # (3, C)
+    q_hi = q3.astype(jnp.bfloat16)
+    q_lo = (q3 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    p_hi = p3.astype(jnp.bfloat16)
+    p_lo = (p3 - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    q12 = jnp.concatenate([q_hi, q_hi, q_lo, q_lo], axis=1)  # (Q, 12)
+    p12 = jnp.concatenate([p_hi, p_lo, p_hi, p_lo], axis=0)  # (12, C)
+    qp = jax.lax.dot_general(
+        q12, p12, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, C) ~= q.p to 2^-30 relative
+    qn = jnp.sum(q3 * q3, axis=1, keepdims=True)  # (Q, 1)
+    pn = jnp.sum(p3 * p3, axis=0, keepdims=True)  # (1, C)
+    d = jnp.maximum(qn + pn - 2.0 * qp, zero)  # (Q, C)
+
+    # integer bit space: nonnegative f32 bit patterns order like the floats
+    ri = pltpu.bitcast(d, jnp.int32)
+    ri = jnp.where(pv, ri, _INF_BITS)  # invalid -> +inf bits
+
+    # nearest-neighbor base per query, excluding (a) the query itself BY
+    # INDEX (expanded-form rounding leaves self-distances at noise, not 0)
+    # and (b) anything under the noise floor extent^2 2^-18 (duplicates +
+    # MXU noise would collapse the base and defeat the level search)
+    ext2 = jnp.maximum(jnp.max(qn), jnp.max(pn))  # block extent^2, scalar
+    nf_bits = pltpu.bitcast(
+        (ext2 * jnp.float32(2.0 ** -18)).reshape(1, 1), jnp.int32
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_block, c), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (q_block, c), 0)
+    is_self = (col - row) == (q0 - start)
+    base = jnp.where(is_self | (ri <= nf_bits), _INF_BITS, ri)
+    rm = jnp.min(base, axis=1, keepdims=True)  # (Q, 1) bits of m
+    rm = jnp.minimum(rm, _CAP_BITS)
+
+    # smallest level s in [0, _LEVELS) with count(d <= m 2^s) >= k:
+    # rm + (s << 23) IS the bit pattern of m * 2^s, so each probe is one
+    # int compare + count. Bisection, ceil(log2(_LEVELS)) = 4 probes.
+    kcnt = jnp.int32(k)
+    lo = jnp.zeros((q_block, 1), jnp.int32)
+    hi = jnp.full((q_block, 1), _LEVELS - 1, jnp.int32)
+    for _ in range(4):
+        mid = (lo + hi) >> 1
+        cnt = jnp.sum(
+            jnp.where(ri <= rm + (mid << 23), 1, 0),
+            axis=1, keepdims=True, dtype=jnp.int32,
+        )
+        ok = cnt >= kcnt
+        hi = jnp.where(ok, mid, hi)
+        lo = jnp.where(ok, lo, mid + 1)
+    t_full = rm + (hi << 23)
+    t_half = t_full - (1 << 22)  # ~0.67-0.83x in value (mantissa-dependent)
+    cnt_full = jnp.sum(
+        jnp.where(ri <= t_full, 1, 0), axis=1, keepdims=True, dtype=jnp.int32
+    )
+    cnt_half = jnp.sum(
+        jnp.where(ri <= t_half, 1, 0), axis=1, keepdims=True, dtype=jnp.int32
+    )
+    # widest level short of k -> open to every valid candidate (kth = inf)
+    t = jnp.where(
+        cnt_full < kcnt,
+        _VALID_MAX_BITS,
+        jnp.where(cnt_half >= kcnt, t_half, t_full),
+    )
+    sel = jnp.where(ri <= t, one, zero)  # (Q, C)
+
+    # moment sums: identical MXU engine to v1 (see its precision notes)
+    f = jnp.concatenate(
+        [jnp.ones_like(ax), ax, ay, az,
+         ax * ax, ax * ay, ax * az, ay * ay, ay * az, az * az],
+        axis=0,
+    )  # (10, C)
+    f_hi = f.astype(jnp.bfloat16)
+    f_lo = (f - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f20 = jnp.concatenate([f_hi, f_lo], axis=0)  # (20, C)
+    s20 = jax.lax.dot_general(
+        sel.astype(jnp.bfloat16), f20, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, 20)
+    return s20[:, :10] + s20[:, 10:]  # (Q, 10)
+
 
 def _moment_sums_for_block(
     cx_ref, cy_ref, cz_ref, valid_ref, q0, start,
@@ -171,6 +312,21 @@ def _moment_sums_for_block(
     return s20[:, :10] + s20[:, 10:]  # (Q, 10)
 
 
+#: threshold-search implementation: "v1" (float probes — the default;
+#: measured 29.9 vs 27.8 Mpts/s against "v2") | "v2" (integer-bit probes +
+#: hi/lo-MXU distances — equal quality, measured slightly SLOWER: a stage
+#: ablation shows the kernel is reduce/matmul-bound, and v2 only thins the
+#: already-cheap elementwise passes while adding iota/int-select masks;
+#: kept as a measured negative result + numerical cross-check, see
+#: docs/PERF.md)
+_SEARCH_IMPL = "v1"
+
+
+def _block_body():
+    return (_moment_sums_for_block_v2 if _SEARCH_IMPL == "v2"
+            else _moment_sums_for_block)
+
+
 def _window_kernel_percloud(
     cx_ref, cy_ref, cz_ref, valid_ref,
     cnt_ref, sx_ref, sy_ref, sz_ref,
@@ -188,7 +344,7 @@ def _window_kernel_percloud(
     for iq in range(n // q_block):
         q0 = iq * q_block
         start = min(max(q0 - window, 0), n - c)
-        sums = _moment_sums_for_block(
+        sums = _block_body()(
             cx_ref, cy_ref, cz_ref, valid_ref, q0, start,
             q_block=q_block, c=c, k=k,
         )
@@ -217,7 +373,7 @@ def _window_kernel_perblock(
     # start stays aligned — Mosaic can't see that through the clip, hence
     # the explicit hint
     start = pl.multiple_of(jnp.clip(q0 - window, 0, n - c), 128)
-    sums = _moment_sums_for_block(
+    sums = _block_body()(
         cx_ref, cy_ref, cz_ref, valid_ref, q0, start,
         q_block=q_block, c=c, k=k,
     )
@@ -234,12 +390,15 @@ def windowed_moment_sums(
     k: int,
     window: int = 256,
     q_block: int = 256,
+    layout: str = "bnc",
 ) -> tuple[jnp.ndarray, ...]:
     """Per-point masked neighborhood moment sums over an index window.
 
     Args:
       centered: (b, n, 3) per-cloud-centered coordinates, ideally in a
         spatially local order (Morton / voxel-sorted). n % 128 == 0.
+        With ``layout='bcn'``, plane-major (b, 3, n) — the kernel's native
+        orientation (skips the (b, n, 3) transpose copies on entry).
       valid_mask: (b, n) bool.
       k: target neighborhood size (the threshold search's count goal).
       window: one-sided candidate half-width W (multiple of 128); each
@@ -254,7 +413,10 @@ def windowed_moment_sums(
     — consumers may only form SHIFT-INVARIANT quantities from them, i.e.
     the covariance ``sxx/cnt - (sx/cnt)^2`` etc., never absolute means.
     """
-    b, n = centered.shape[:2]
+    if layout == "bcn":
+        b, _, n = centered.shape
+    else:
+        b, n = centered.shape[:2]
     if n % q_block or q_block % 128 or window % 128:
         raise ValueError(
             f"windowed_moment_sums needs n % q_block == 0 and 128-aligned "
@@ -266,8 +428,13 @@ def windowed_moment_sums(
             f"candidate window {c} exceeds cloud size {n}; shrink `window`"
         )
     # unit middle axis: Mosaic wants block sublane dims 8-divisible or equal
-    # to the array dim; (b, 1, n) arrays with (1, 1, n) blocks satisfy it
-    planes = jnp.moveaxis(centered.astype(jnp.float32), -1, 0)[:, :, None, :]
+    # to the array dim; (b, 1, n) arrays with (1, 1, n) blocks satisfy it.
+    # 'bcn' input is already plane-major: the axis moves below are leading-
+    # dim permutes (row-granularity relabels), not elementwise transposes
+    if layout == "bcn":
+        planes = jnp.moveaxis(centered.astype(jnp.float32), 1, 0)[:, :, None, :]
+    else:
+        planes = jnp.moveaxis(centered.astype(jnp.float32), -1, 0)[:, :, None, :]
     validf = valid_mask.astype(jnp.float32)[:, None, :]
 
     out_shape = jax.ShapeDtypeStruct((b, 1, n), jnp.float32)

@@ -39,6 +39,7 @@ def voxel_downsample_batch(
     voxel_size: float,
     valid_mask: jnp.ndarray | None = None,
     reduction: str = "centroid",
+    layout: str = "bnc",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Downsample a batch of padded clouds by voxel grid.
 
@@ -48,15 +49,22 @@ def voxel_downsample_batch(
       valid_mask: optional (b, n) bool; invalid rows are ignored.
       reduction: 'centroid' (mean of voxel members) or 'first' (lowest input
         index in the voxel — deterministic representative).
+      layout: 'bnc' returns out_points (b, n, 3); 'bcn' returns the
+        plane-major (b, 3, n) — the natural SoA layout of this pipeline
+        (the sort already yields coordinate planes) and what the Pallas
+        normals/FPS kernels consume. On TPU 'bcn' skips ~100 us of
+        (b, n, 3) relayout copies per 8x8192 batch (docs/PERF.md).
 
     Returns:
-      (out_points (b, n, 3), out_mask (b, n)) — out_mask[i] True for the
+      (out_points, out_mask (b, n)) — out_mask[i] True for the
       first k rows, where k = number of occupied voxels; those rows hold the
       voxel representatives in Morton (Z-curve) order — spatially local in
       index order. Invalid tail rows are 0.
     """
     if reduction not in ("centroid", "first"):
         raise ValueError(f"Unknown reduction {reduction!r}")
+    if layout not in ("bnc", "bcn"):
+        raise ValueError(f"Unknown layout {layout!r}")
     b, n = points.shape[:2]
     if valid_mask is None:
         valid_mask = jnp.ones((b, n), bool)
@@ -111,12 +119,41 @@ def voxel_downsample_batch(
     weights = (sorted_valid if reduction == "centroid" else is_new).astype(
         points.dtype
     )
+    out_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, n), 1) < num_voxels[:, None]
+    )
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if layout == "bcn" and on_tpu:
+        # plane-major output: run the AoS banded kernel, then ONE XLA
+        # transpose of its (b, n, 4) result (~24 us at 8x8192) and do all
+        # post-processing on plane rows, so the mask/centroid fusions and
+        # the downstream normals/FPS kernels see (b, c, n) natively. (A
+        # plane-major twin of the reduce kernel measured 306 vs 187 us —
+        # the in-kernel rank-vector transposes per chunk cost more than
+        # XLA's single bulk transpose; docs/PERF.md.)
+        from pointcloudprocessing_tpu.ops.pallas.voxel_reduce import (
+            sorted_segment_reduce_pallas,
+        )
+
+        data = jnp.concatenate(
+            [sorted_points * weights[..., None], weights[..., None]], axis=-1
+        )
+        reduced = jnp.swapaxes(
+            sorted_segment_reduce_pallas(data, rank), 1, 2
+        )  # (b, 4, n)
+        sums, counts = reduced[:, :3], reduced[:, 3]
+        if reduction == "centroid":
+            out = sums / jnp.maximum(counts, 1.0)[:, None, :]
+        else:
+            out = sums
+        return jnp.where(out_mask[:, None, :], out, 0.0), out_mask
+
     # segment reduce as one MXU contraction: data carries a ones column so
     # counts come out of the same matmul
     data = jnp.concatenate(
         [sorted_points * weights[..., None], weights[..., None]], axis=-1
     )
-    if jax.default_backend() in ("tpu", "axon"):
+    if on_tpu:
         # Pallas kernel: the one-hot slab is generated in VMEM instead of
         # materializing (b, n, n) in HBM (~9x over the einsum, which in turn
         # beats TPU's serialized scatter lowering by ~9x). rank is monotone
@@ -139,10 +176,9 @@ def voxel_downsample_batch(
     else:
         out = sums  # exactly one weighted row per segment
 
-    out_mask = (
-        jax.lax.broadcasted_iota(jnp.int32, (b, n), 1) < num_voxels[:, None]
-    )
     out = jnp.where(out_mask[..., None], out, 0.0)
+    if layout == "bcn":  # CPU/GPU fallback: transpose at the end
+        out = jnp.swapaxes(out, 1, 2)
     return out, out_mask
 
 

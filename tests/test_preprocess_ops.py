@@ -13,6 +13,7 @@ from pointcloudprocessing_tpu.ops import (
     knn_batch,
     group_points,
     estimate_normals,
+    estimate_normals_batch,
     hidden_point_removal,
 )
 from pointcloudprocessing_tpu.ops.normals import smallest_eigenvector_sym3x3
@@ -585,3 +586,61 @@ def test_window_normals_single_valid_point(rng):
     mask = jnp.zeros((1, 512), bool).at[0, 0].set(True)
     cnt = windowed_moment_sums(pts, mask, k=16, window=128, q_block=128)[0]
     assert float(cnt[0, 0]) == 1.0
+
+
+def test_voxel_and_normals_plane_layout_match(rng):
+    """layout='bcn' (plane-major SoA, the copy-free TPU pipeline layout)
+    must agree with the default 'bnc' path through voxel downsample and
+    windowed normals; masks must be identical."""
+    pts = jnp.asarray(rng.uniform(-10, 10, (4, 1024, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(4, 1024)) > 0.1)
+
+    o1, m1 = voxel_downsample_batch(pts, 0.5, mask)
+    o2, m2 = voxel_downsample_batch(pts, 0.5, mask, layout="bcn")
+    assert o2.shape == (4, 3, 1024)
+    assert bool(jnp.all(m1 == m2))
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(o2), 1, 2), np.asarray(o1), atol=1e-5
+    )
+
+    n1 = estimate_normals_batch(o1, k=8, valid_mask=m1, method="window")
+    n2 = estimate_normals_batch(
+        o2, k=8, valid_mask=m2, method="window", layout="bcn"
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(n2), 1, 2), np.asarray(n1), atol=2e-5
+    )
+
+    with pytest.raises(ValueError):
+        estimate_normals_batch(o2, k=8, valid_mask=m2, layout="bcn")  # exact
+    with pytest.raises(ValueError):
+        voxel_downsample_batch(pts, 0.5, mask, layout="nope")
+
+
+def test_window_normals_search_impls_agree(rng):
+    """The v2 integer-bit threshold search (measured slower on TPU, kept as
+    a numerical cross-check — docs/PERF.md) must match v1 on a curved
+    surface: both implement count-threshold selection over the same level
+    family, so normals should agree to near-tie tolerance."""
+    from pointcloudprocessing_tpu.ops.pallas import window_normals as wn
+
+    n = 2048
+    u = rng.uniform(0, 2 * np.pi, (1, n))
+    v = np.arccos(rng.uniform(-1, 1, (1, n)))
+    sph = np.stack(
+        [8 * np.sin(v) * np.cos(u), 8 * np.sin(v) * np.sin(u), 8 * np.cos(v)],
+        -1,
+    ).astype(np.float32)
+    x = jnp.asarray(sph)
+    vox, mask = voxel_downsample_batch(x, 0.35)
+    old = wn._SEARCH_IMPL
+    try:
+        wn._SEARCH_IMPL = "v1"
+        n1 = estimate_normals_batch(vox, k=16, valid_mask=mask, method="window")
+        wn._SEARCH_IMPL = "v2"
+        n2 = estimate_normals_batch(vox, k=16, valid_mask=mask, method="window")
+    finally:
+        wn._SEARCH_IMPL = old
+    dot = np.abs(np.sum(np.asarray(n1) * np.asarray(n2), axis=-1)).clip(0, 1)
+    ang = np.degrees(np.arccos(dot))[np.asarray(mask)]
+    assert np.median(ang) < 1.0 and np.percentile(ang, 95) < 5.0
