@@ -249,7 +249,7 @@ def bench_train_step(
 
 
 def bench_train_multi_step(
-    batch: int = 32, width: int = 1024, chunk: int = 32, rounds: int = 3, dtype=None
+    batch: int = 32, width: int = 1024, chunk: int = 32, rounds: int = 8, dtype=None
 ) -> float:
     """Training with ``chunk`` scanned steps per dispatch (the production
     loop's steps_per_dispatch) — amortizes the per-call host/tunnel overhead
@@ -306,8 +306,10 @@ def bench_e2e_pipeline(
 
     @jax.jit
     def step(x):
-        vox, mask = voxel_downsample_batch(x, 0.4)
-        _, sampled = farthest_point_sample_and_gather(vox, width_out, mask)
+        vox, mask = voxel_downsample_batch(x, 0.4, layout="bcn")
+        _, sampled = farthest_point_sample_and_gather(
+            vox, width_out, mask, layout="bcn"
+        )
         return model.apply(variables, sampled, train=False)
 
     # full config-5 fidelity: normals ride the Morton-ordered voxel output
@@ -317,11 +319,14 @@ def bench_e2e_pipeline(
     # across rounds (same composition as BENCH_r01)
     @jax.jit
     def step_with_normals(x):
-        vox, mask = voxel_downsample_batch(x, 0.4)
+        vox, mask = voxel_downsample_batch(x, 0.4, layout="bcn")
         normals = estimate_normals_batch(
-            vox, k=16, valid_mask=mask, method="window", window=128
+            vox, k=16, valid_mask=mask, method="window", window=128,
+            layout="bcn",
         )
-        _, sampled = farthest_point_sample_and_gather(vox, width_out, mask)
+        _, sampled = farthest_point_sample_and_gather(
+            vox, width_out, mask, layout="bcn"
+        )
         out = model.apply(variables, sampled, train=False,
                           heads=("classification_output", "se3"))
         return out, normals

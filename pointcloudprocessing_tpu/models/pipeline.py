@@ -89,14 +89,22 @@ class PointCloudPipeline:
 
         def run(points):
             mask = None
+            # plane-major (b, 3, n) between the voxel and FPS kernels: both
+            # consume coordinate planes, so the points-major interface's
+            # interleave/split relayout copies vanish (docs/PERF.md round 3);
+            # the sampled (b, k, 3) output stays points-major for the model
+            layout = "bcn" if (voxel_size is not None and sampler == "fps") \
+                else "bnc"
             if voxel_size is not None:
-                points, mask = voxel_downsample_batch(points, voxel_size)
+                points, mask = voxel_downsample_batch(
+                    points, voxel_size, layout=layout
+                )
             if sampler == "fps":
                 # fused sample+gather: on TPU the Pallas FPS kernel emits the
                 # selected coordinates directly (a take_along_axis gather
                 # costs more than the sampling itself)
                 _, sampled = farthest_point_sample_and_gather(
-                    points, model_width, mask
+                    points, model_width, mask, layout=layout
                 )
             elif sampler == "stride":
                 _, sampled = stride_sample_and_gather(points, model_width, mask)

@@ -138,6 +138,7 @@ def farthest_point_sample_and_gather(
     valid_mask: jnp.ndarray | None = None,
     start_index: int = 0,
     chains: int = 1,
+    layout: str = "bnc",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """FPS returning (indices (b, k), sampled points (b, k, 3)).
 
@@ -145,6 +146,12 @@ def farthest_point_sample_and_gather(
     extracts them every iteration anyway); a post-hoc ``take_along_axis``
     row gather costs ~10 ms/batch at 256x2048 — more than the sampling
     itself. Other backends fall back to indices + gather.
+
+    ``layout='bcn'`` takes plane-major (b, 3, n) points (the kernel's
+    native orientation — it consumes coordinate planes; pairs with
+    ``voxel_downsample_batch(layout='bcn')`` to skip the interleave/split
+    copies between the two kernels). The sampled output stays (b, k, 3):
+    it feeds the model, whose matmuls want coordinates minor.
 
     ``chains > 1`` runs BLOCKED FPS: each cloud splits into ``chains``
     stride-striped subsets sampled independently and concurrently, cutting
@@ -157,10 +164,15 @@ def farthest_point_sample_and_gather(
     points than ``num_samples`` — a subset with no valid points would
     contribute padding rows.
     """
-    b, n = points.shape[:2]
+    if layout not in ("bnc", "bcn"):
+        raise ValueError(f"Unknown layout {layout!r}")
+    b = points.shape[0]
+    n = points.shape[2] if layout == "bcn" else points.shape[1]
     if valid_mask is None:
         valid_mask = jnp.ones((b, n), bool)
     if chains > 1:
+        if layout == "bcn":  # stripe-reshape logic is row-major; convert
+            points = jnp.swapaxes(points, 1, 2)
         return _blocked_fps_and_gather(points, num_samples, valid_mask, chains)
     if (
         jax.default_backend() in ("tpu", "axon")
@@ -170,7 +182,10 @@ def farthest_point_sample_and_gather(
         from pointcloudprocessing_tpu.ops.pallas.fps import fps_pallas_with_points
 
         start = _seed_indices(valid_mask, start_index)
-        return fps_pallas_with_points(points, num_samples, valid_mask, start)
+        return fps_pallas_with_points(points, num_samples, valid_mask, start,
+                                      layout=layout)
+    if layout == "bcn":
+        points = jnp.swapaxes(points, 1, 2)
     idx = farthest_point_sample_batch(points, num_samples, valid_mask, start_index)
     sampled = jnp.take_along_axis(points, idx[..., None], axis=1)
     return idx, sampled
@@ -218,6 +233,7 @@ def stride_sample_and_gather(
     points: jnp.ndarray,
     num_samples: int,
     valid_mask: jnp.ndarray | None = None,
+    layout: str = "bnc",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """O(n) stratified sampling along the INPUT ORDER — the serving-path
     alternative to FPS's serial selection loop.
@@ -247,7 +263,16 @@ def stride_sample_and_gather(
     voxel downsampling, no gather/scatter anywhere.
 
     Returns (indices (b, k) int32, sampled (b, k, 3) f32).
+
+    ``layout='bcn'`` accepts (b, 3, n) planes for interface parity with the
+    FPS path; the bucket machinery rides the AoS segment reduce, so this
+    converts at entry (one transpose — the reduce kernel's plane-major
+    twin measured slower, docs/PERF.md).
     """
+    if layout == "bcn":
+        points = jnp.swapaxes(points, 1, 2)
+    elif layout != "bnc":
+        raise ValueError(f"Unknown layout {layout!r}")
     b, n = points.shape[:2]
     k = num_samples
     if valid_mask is None:
@@ -283,14 +308,32 @@ def stride_sample_and_gather(
         )(data, bucket)
     picks = reduced[:, :k, :4]
     filled = reduced[:, :k, 4:5] > 0.5
-    # forward-fill skipped buckets (nv < k) with the previous pick: an
-    # associative take-right-if-filled scan — no gathers, O(k) vector work
-    def _ffill(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av), af | bf
 
-    picks, _ = jax.lax.associative_scan(_ffill, (picks, filled), axis=1)
+    # forward-fill skipped buckets (possible only when nv < k — pigeonhole:
+    # with nv >= k every bucket receives a first row) with the previous
+    # pick. Gated behind lax.cond: the fill itself is pure vector work, but
+    # any full-length scan over k costs real time (the original
+    # associative_scan formulation measured 2.4 ms/step at 256x2048 in the
+    # e2e pipeline — 40% of the whole step — lowering to padded
+    # slice/concat stages; docs/PERF.md), and serving batches essentially
+    # never hit the degenerate case.
+    def _ffill(operands):
+        p, f = operands
+        # log-shift take-right-if-filled: k is static, so each stage is a
+        # pad+slice (no dynamic slicing) and two selects
+        shift = 1
+        while shift < k:
+            pv = jnp.pad(p, ((0, 0), (shift, 0), (0, 0)))[:, :-shift]
+            fv = jnp.pad(f, ((0, 0), (shift, 0), (0, 0)))[:, :-shift]
+            p = jnp.where(f, p, pv)
+            f = f | fv
+            shift *= 2
+        return p
+
+    all_full = jnp.all(nv >= k)
+    picks = jax.lax.cond(
+        all_full, lambda ops: ops[0], _ffill, (picks, filled)
+    )
     sampled = picks[..., :3]
     idx = picks[..., 3].astype(jnp.int32)
     return idx, sampled

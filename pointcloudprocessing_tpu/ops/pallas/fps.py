@@ -112,14 +112,20 @@ def fps_pallas_with_points(
     num_samples: int,
     valid_mask: jnp.ndarray,
     start: jnp.ndarray,
+    layout: str = "bnc",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """FPS over a batch: points (b, n, 3), valid (b, n) bool, start (b,) int32
     -> (indices (b, num_samples) int32, sampled (b, num_samples, 3) f32).
-    Caller guarantees semantics of ``start`` (seed per cloud, valid)."""
-    b, n = points.shape[:2]
+    Caller guarantees semantics of ``start`` (seed per cloud, valid).
+    ``layout='bcn'`` takes (b, 3, n) planes — the axis move below becomes a
+    leading-dim permute instead of an elementwise transpose."""
+    if layout == "bcn":
+        b, _, n = points.shape
+        planes = jnp.moveaxis(points.astype(jnp.float32), 1, 0)  # (3, b, n)
+    else:
+        b, n = points.shape[:2]
+        planes = jnp.moveaxis(points.astype(jnp.float32), -1, 0)  # (3, b, n)
     tb = _cloud_block(b, n, num_samples)
-
-    planes = jnp.moveaxis(points.astype(jnp.float32), -1, 0)  # (3, b, n)
     xs, ys, zs = planes[0], planes[1], planes[2]
     validf = valid_mask.astype(jnp.float32)
     start2d = start.astype(jnp.int32)[:, None]  # (b, 1)

@@ -644,3 +644,27 @@ def test_window_normals_search_impls_agree(rng):
     dot = np.abs(np.sum(np.asarray(n1) * np.asarray(n2), axis=-1)).clip(0, 1)
     ang = np.degrees(np.arccos(dot))[np.asarray(mask)]
     assert np.median(ang) < 1.0 and np.percentile(ang, 95) < 5.0
+
+
+def test_fps_and_stride_plane_layout_match(rng):
+    """FPS and stride sampling with layout='bcn' (plane-major input) must
+    select identical indices and coordinates as the 'bnc' path."""
+    from pointcloudprocessing_tpu.ops.fps import (
+        farthest_point_sample_and_gather,
+        stride_sample_and_gather,
+    )
+
+    pts = jnp.asarray(rng.uniform(-5, 5, (4, 256, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(4, 256)) > 0.2)
+    mask = mask.at[:, 0].set(True)
+    ptsT = jnp.swapaxes(pts, 1, 2)
+
+    i1, s1 = farthest_point_sample_and_gather(pts, 64, mask)
+    i2, s2 = farthest_point_sample_and_gather(ptsT, 64, mask, layout="bcn")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+    j1, t1 = stride_sample_and_gather(pts, 64, mask)
+    j2, t2 = stride_sample_and_gather(ptsT, 64, mask, layout="bcn")
+    np.testing.assert_array_equal(np.asarray(j1), np.asarray(j2))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
