@@ -42,14 +42,32 @@ def _norm_scale(var, eps, dtype):
 #: backend/dtype so the dispatch branches can be validated everywhere.
 _FORCE_PALLAS = False
 
+#: set by the training driver when the step compiles under a MULTI-DEVICE
+#: GSPMD mesh (jit with NamedShardings): pallas_call custom calls carry no
+#: SPMD partitioning rule, so GSPMD cannot shard through them — the jnp
+#: formulation (pure XLA HLO, fully partitionable) must be used there.
+#: Single-device jit and shard_map-wrapped programs (per-shard execution,
+#: models/pipeline.py) keep the kernels.
+_GSPMD_ACTIVE = False
+
+
+def set_gspmd_mode(active: bool) -> None:
+    """Trace-time switch: disable the Pallas pooled-chain kernels while a
+    multi-device GSPMD-partitioned train step is being built."""
+    global _GSPMD_ACTIVE
+    _GSPMD_ACTIVE = bool(active)
+
 
 def _use_pallas(cfg, x, kernel) -> bool:
     """TPU training path: keep every (b, n, C) intermediate in VMEM via the
     Pallas kernels (ops/pallas/pooled_chain.py). Only for batch-stats mode
     in bf16 on lane-aligned shapes — everything else (eval, frozen, f32
-    parity mode, odd shapes, CPU) keeps the jnp formulation below."""
+    parity mode, odd shapes, CPU, multi-device GSPMD) keeps the jnp
+    formulation below."""
     use_running, _, _, dtype = cfg
     if use_running:
+        return False
+    if _GSPMD_ACTIVE:
         return False
     if _FORCE_PALLAS:
         return True

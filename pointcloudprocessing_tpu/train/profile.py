@@ -382,6 +382,13 @@ class TrainProfile:
                     f"{dict(zip(mesh.axis_names, mesh.devices.shape))} over "
                     f"{n_dev} devices"
                 )
+        # GSPMD cannot partition pallas_call custom calls — a multi-device
+        # step must trace the jnp pooled-chain formulation
+        # (models/fused_pool.py); single-device stages re-enable the
+        # kernels (the flag is trace-time, so set it before the step jits)
+        from pointcloudprocessing_tpu.models import fused_pool
+
+        fused_pool.set_gspmd_mode(mesh is not None)
         from pointcloudprocessing_tpu.parallel.mesh import NamedSharding, P
 
         if mesh is None:

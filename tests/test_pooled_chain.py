@@ -200,3 +200,18 @@ def test_dispatch_conditions():
     if jax.default_backend() in ("tpu", "axon"):
         assert fused_pool._use_pallas(cfg_train_bf16, x, k)
         assert not fused_pool._use_pallas(cfg_train_bf16, odd, k)
+
+
+def test_gspmd_mode_disables_pallas():
+    """The training driver sets GSPMD mode while building a multi-device
+    jit-with-shardings step: pallas_call custom calls carry no SPMD
+    partitioning rule, so the jnp formulation must trace there even where
+    the Pallas path would otherwise be eligible."""
+    x = jnp.zeros((8, 256, 128), jnp.bfloat16)
+    k = jnp.zeros((128, 256), jnp.float32)
+    cfg = (False, 0.99, KERAS_BN_EPSILON, jnp.bfloat16)
+    fused_pool.set_gspmd_mode(True)
+    try:
+        assert not fused_pool._use_pallas(cfg, x, k)
+    finally:
+        fused_pool.set_gspmd_mode(False)
