@@ -124,6 +124,29 @@ class _ProducerFailure:
         self.exc = exc
 
 
+def _shrink_for_wire(batch):
+    """Downcast the part-label plane before the host->device transfer:
+    part ids are tiny (12 classes in the flagship configs), so staging
+    them as uint8 cuts the per-cloud wire bytes ~18% at 8192 pts. This
+    matters on remote-attached devices — the axon tunnel moves ~25 MB/s
+    and the flagship training loop is UPLOAD-bound (docs/PERF.md round 3)
+    — and costs nothing on local PCIe. Numerics are unchanged: the loss
+    casts labels to int32 on device (train/losses.py) and metric compares
+    promote integer dtypes."""
+    x, targets = batch
+    seg = targets.get("segmentation_output") if isinstance(targets, dict) else None
+    if (
+        seg is not None
+        and seg.dtype in (np.int32, np.int64)
+        and seg.size
+        and 0 <= seg.min()
+        and seg.max() < 256
+    ):
+        targets = dict(targets, segmentation_output=seg.astype(np.uint8))
+        return x, targets
+    return batch
+
+
 def _prefetch_to_device(
     host_batches, num_steps, device, prefetch: int = 2, pushback=None
 ):
@@ -163,6 +186,7 @@ def _prefetch_to_device(
                 _put(_ProducerFailure(e))
                 return
             try:
+                batch = _shrink_for_wire(batch)
                 if device is not None:
                     batch = jax.device_put(batch, device)
                 else:
