@@ -189,10 +189,15 @@ class TrainProfile:
         # train steps per device dispatch (lax.scan over stacked batches —
         # numerically identical to sequential steps, amortizes the per-call
         # host overhead; ~2x at batch 32 through the remote tunnel, still
-        # improving at 64 steps/dispatch: scan-32 18.4k, scan-64 20.4k,
-        # scan-128 21.3k clouds/s bf16 — 64 balances the win against the
-        # stacked-batch tail waste on short epochs)
+        # improving at 64 steps/dispatch: scan-32 21.0k, scan-64 22.0k
+        # clouds/s bf16 — 64 balances the win against the stacked-batch
+        # tail waste on short epochs)
         self.steps_per_dispatch: int = 64
+        # multi-device strategy: "gspmd" (jit with NamedShardings — exact
+        # global-batch BN statistics, jnp pooled chains) or "shard_map"
+        # (per-shard programs — keeps the Pallas training kernels,
+        # standard non-sync-BN DP; pure data meshes only)
+        self.parallel_mode: str = "gspmd"
 
     # ------------------------------------------------------------------
 
@@ -382,13 +387,45 @@ class TrainProfile:
                     f"{dict(zip(mesh.axis_names, mesh.devices.shape))} over "
                     f"{n_dev} devices"
                 )
+        use_shardmap = (
+            mesh is not None
+            and self.parallel_mode == "shard_map"
+            and mesh.devices.ndim >= 1
+            and dict(zip(mesh.axis_names, mesh.devices.shape)).get("points", 1)
+            == 1
+        )
+        if self.parallel_mode == "shard_map" and mesh is not None and not use_shardmap:
+            self._log.info(
+                "parallel_mode='shard_map' needs a pure data mesh; the "
+                "points axis is in play — falling back to GSPMD."
+            )
+        if use_shardmap:
+            # per-shard programs: the Pallas training kernels stay active
+            # (each device runs the whole step on its slice; grads and
+            # running-stat updates pmean). Non-sync-BN DP semantics — the
+            # GSPMD mode below keeps exact global-batch statistics.
+            sm_multi = steps_lib.make_shardmap_train_multi_step(
+                model, optimizer, weights, freeze, jitter_stdev, mesh
+            )
+            multi_step = sm_multi
+            chunk = max(chunk, 2)  # the scan wrapper is the only step form
+
+            def train_step(state, x, targets, rng, _sm=sm_multi):
+                # epoch-tail single step: a K=1 scan through the same
+                # shard_map program (a GSPMD-jitted single step would trace
+                # the custom calls under partitioning)
+                stacked = jax.tree_util.tree_map(lambda a: a[None], targets)
+                state, logs = _sm(state, x[None], stacked, rng)
+                return state, jax.tree_util.tree_map(lambda a: a[0], logs)
+
         # GSPMD cannot partition pallas_call custom calls — a multi-device
-        # step must trace the jnp pooled-chain formulation
-        # (models/fused_pool.py); single-device stages re-enable the
-        # kernels (the flag is trace-time, so set it before the step jits)
+        # jit-with-shardings step must trace the jnp pooled-chain
+        # formulation (models/fused_pool.py); single-device stages and the
+        # shard_map mode re-enable the kernels (the flag is trace-time, so
+        # set it before the step jits)
         from pointcloudprocessing_tpu.models import fused_pool
 
-        fused_pool.set_gspmd_mode(mesh is not None)
+        fused_pool.set_gspmd_mode(mesh is not None and not use_shardmap)
         from pointcloudprocessing_tpu.parallel.mesh import NamedSharding, P
 
         if mesh is None:

@@ -141,9 +141,21 @@ def _train_step_impl(
     x,
     targets,
     rng,
+    axis_name: str | None = None,
 ):
-    """One un-jitted train step (shared by the single- and multi-step forms)."""
+    """One un-jitted train step (shared by the single- and multi-step forms).
+
+    ``axis_name`` runs the step as ONE REPLICA of a shard_map
+    data-parallel program (make_shardmap_train_multi_step): gradients and
+    running-stat updates ``pmean`` across the axis so the replicated state
+    stays bit-identical, metric sums ``psum`` to global counts, and each
+    replica draws distinct jitter noise. BatchNorm BATCH statistics stay
+    per-shard (the standard non-sync-BN DP mode — DDP default); exact
+    global-batch statistics remain available via the GSPMD path
+    (train/profile.py), which shards the jnp formulation through XLA."""
     jitter_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+    if axis_name is not None:
+        jitter_rng = jax.random.fold_in(jitter_rng, jax.lax.axis_index(axis_name))
     x = jitter(x, jitter_rng, jitter_stdev)
 
     def loss_fn(params):
@@ -167,10 +179,26 @@ def _train_step_impl(
     (total, (outputs, new_batch_stats, head_losses)), grads = (
         jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     )
+    if axis_name is not None:
+        # replica agreement: averaged grads -> identical Adam updates; the
+        # running-stat EMA is linear, so pmean of the updated stats equals
+        # updating with the pmean'd batch statistics
+        grads = jax.lax.pmean(grads, axis_name)
+        new_batch_stats = jax.lax.pmean(new_batch_stats, axis_name)
     updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
 
     logs = {"loss": total, **head_losses, **_metric_sums(outputs, targets)}
+    if axis_name is not None:
+        mean_keys = {"loss", *head_losses}
+        logs = {
+            k: (
+                jax.lax.pmean(v, axis_name)
+                if k in mean_keys
+                else jax.lax.psum(v, axis_name)
+            )
+            for k, v in logs.items()
+        }
     new_state = state.replace(
         step=state.step + 1,
         params=new_params,
@@ -226,6 +254,56 @@ def make_train_multi_step(
         return jax.lax.scan(body, state, (xs, targets))
 
     return jax.jit(multi, donate_argnums=(0,))
+
+
+def make_shardmap_train_multi_step(
+    model: PointNet,
+    optimizer: optax.GradientTransformation,
+    loss_weights: tuple[float, float, float],
+    freeze: FreezeFlags,
+    jitter_stdev: tuple[float, float, float],
+    mesh,
+    axis: str = "data",
+) -> Callable:
+    """Data-parallel scanned train step via ``shard_map`` (per-shard
+    programs + explicit pmean), NOT GSPMD partitioning.
+
+    Why it exists: GSPMD cannot partition ``pallas_call`` custom calls, so
+    the jit-with-shardings multi-device path (train/profile.py) must trace
+    the jnp pooled-chain formulation. Under shard_map each device runs the
+    WHOLE per-shard step — Pallas training kernels included — and only the
+    gradient/stat pmeans cross the ICI. Semantics: standard non-sync-BN
+    data parallelism (per-shard batch statistics; replicated state stays
+    bit-identical via pmean'd grads and stat updates). With identical
+    per-shard data this is EXACTLY the single-device step (pinned in
+    test_train_steps.py).
+
+    Call: (state replicated, xs (K, b_global, n, 3), targets (K, ...),
+    rng) -> (state, logs (K, ...)) with b_global % mesh.shape[axis] == 0.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    inner = partial(
+        _train_step_impl, model, optimizer, loss_weights, freeze,
+        jitter_stdev, axis_name=axis,
+    )
+
+    def multi(state: TrainState, xs, targets, rng):
+        def body(carry, inp):
+            x_k, t_k = inp
+            return inner(carry, x_k, t_k, rng)
+
+        return jax.lax.scan(body, state, (xs, targets))
+
+    batch_spec = P(None, axis)  # (K, b, ...) shards the per-step batch dim
+    sharded = jax.shard_map(
+        multi,
+        mesh=mesh,
+        in_specs=(P(), batch_spec, batch_spec, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_eval_step(

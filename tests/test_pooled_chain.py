@@ -215,3 +215,44 @@ def test_gspmd_mode_disables_pallas():
         assert not fused_pool._use_pallas(cfg, x, k)
     finally:
         fused_pool.set_gspmd_mode(False)
+
+
+def test_pallas_path_under_shardmap(monkeypatch):
+    """The pooled-chain kernels must run (interpret mode here) inside a
+    shard_map-wrapped train step — the multi-device mode that keeps them,
+    unlike GSPMD jit (see set_gspmd_mode). One DP step on the 8-device
+    mesh with the Pallas path forced must produce a finite loss."""
+    import numpy as np
+    from pointcloudprocessing_tpu.core.config import LearningConfig
+    from pointcloudprocessing_tpu.models import FreezeFlags, PointNet
+    from pointcloudprocessing_tpu.parallel.mesh import (
+        data_parallel_mesh,
+        replicated_sharding,
+    )
+    from pointcloudprocessing_tpu.train import steps as steps_lib
+
+    monkeypatch.setattr(fused_pool, "_FORCE_PALLAS", True)
+    n_dev, b, w = 8, 8, 128
+    model = PointNet(num_classes=4, num_parts=3, vanilla=True)
+    freeze = FreezeFlags()
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), w, LearningConfig(rate=1e-3), freeze,
+        batch_size=1,
+    )
+    mesh = data_parallel_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+    sm = steps_lib.make_shardmap_train_multi_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0), mesh
+    )
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(1, b, w, 3)).astype(np.float32))
+    ts = {
+        "classification_output": jnp.asarray(
+            rng.integers(0, 4, (1, b)).astype(np.int32)),
+        "segmentation_output": jnp.asarray(
+            rng.integers(0, 3, (1, b, w)).astype(np.int32)),
+        "se3": jnp.asarray(np.broadcast_to(
+            np.eye(3, dtype=np.float32), (1, b, 3, 3)).copy()),
+    }
+    state, logs = sm(state, xs, ts, jax.random.key(1))
+    assert np.isfinite(float(logs["loss"][0]))

@@ -209,3 +209,25 @@ def test_points_axis_mesh_training(tmp_path):
     assert len(h["loss"]) == 2
     assert np.isfinite(h["loss"]).all()
     assert np.isfinite(h["val_loss"]).all()
+
+
+def test_shardmap_parallel_mode_training(tmp_path):
+    """parallel_mode='shard_map' runs the REAL training path through
+    make_shardmap_train_multi_step (per-shard programs — the mode that
+    keeps the Pallas kernels multi-device) and trains to a sane history,
+    including the K=1 epoch-tail wrapper."""
+    import jax
+
+    from pointcloudprocessing_tpu.train.profile import TrainProfile
+
+    assert len(jax.devices()) == 8
+    config_path = make_config(tmp_path, epochs=2, stages=("classification_pretrain",))
+
+    tp = TrainProfile(config_path, log_to_file=False)
+    tp.parallel_mode = "shard_map"
+    tp.steps_per_dispatch = 2  # force chunking + a tail step
+    histories = tp.train()
+    h = histories["classification_pretrain"]
+    assert len(h["loss"]) == 2
+    assert np.isfinite(h["loss"]).all()
+    assert np.isfinite(h["val_loss"]).all()

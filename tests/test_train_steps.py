@@ -220,3 +220,137 @@ def test_multi_step_matches_sequential(rng):
         jax.tree_util.tree_leaves(state_b.batch_stats),
     ):
         np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), rtol=1e-5, atol=1e-7)
+
+
+def test_shardmap_step_matches_single_device_on_tiled_batch(rng):
+    """make_shardmap_train_multi_step with every shard holding IDENTICAL
+    data must reproduce the single-device scanned step exactly: per-shard
+    batch stats equal the global stats, grads pmean to themselves, and the
+    replicated state update is the same Adam step. (Zero jitter: the
+    shard_map path draws per-replica noise by design.)"""
+    from pointcloudprocessing_tpu.parallel.mesh import (
+        data_parallel_mesh,
+        replicated_sharding,
+    )
+
+    assert len(jax.devices()) == 8
+    n_dev = 8
+    K = 2
+    model = PointNet(num_classes=C, num_parts=P)
+    learning = LearningConfig(rate=1e-3)
+    freeze = FreezeFlags()
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), N, learning, freeze
+    )
+    mesh = data_parallel_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    x, targets = _toy_problem()
+    xs = jnp.stack([x, x * 1.01])  # (K, B, N, 3)
+    ts = jax.tree_util.tree_map(lambda a: jnp.stack([a, a]), targets)
+    # tile every per-step batch 8x so each shard sees the same B rows
+    xs_t = jnp.tile(xs, (1, n_dev, 1, 1))
+    ts_t = jax.tree_util.tree_map(
+        lambda a: jnp.tile(a, (1, n_dev) + (1,) * (a.ndim - 2)), ts
+    )
+
+    sm = steps_lib.make_shardmap_train_multi_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0), mesh
+    )
+    state_sm, logs_sm = sm(state, xs_t, ts_t, jax.random.key(7))
+
+    state1, _ = steps_lib.init_train_state(
+        model, jax.random.key(0), N, learning, freeze
+    )
+    single = steps_lib.make_train_multi_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0)
+    )
+    state_1, logs_1 = single(state1, xs, ts, jax.random.key(7))
+
+    # Adam normalizes each coordinate by rsqrt(v): where a gradient is
+    # ~0, f32 reduction-order noise flips its SIGN and the whole +-lr
+    # update flips with it — so per-coordinate agreement is bounded by
+    # ~2*lr (2e-3), not by float precision. Structure (shapes, pmean
+    # plumbing, BN-stat equality, loss equality) is what this pins.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_sm.params),
+        jax.tree_util.tree_leaves(state_1.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-3)
+    # batch stats carry no rsqrt amplification: near-exact at step 1,
+    # step-2 drift bounded by the +-lr param noise entering the forward
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_sm.batch_stats),
+        jax.tree_util.tree_leaves(state_1.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    # step-1 losses were computed at IDENTICAL params: tight agreement;
+    # metric sums psum to 8x the single-device counts
+    np.testing.assert_allclose(
+        float(logs_sm["loss"][0]), float(logs_1["loss"][0]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logs_sm["classification_total"]),
+        np.asarray(logs_1["classification_total"]) * n_dev,
+    )
+
+
+def test_shardmap_step_distinct_shards_stays_replicated(rng):
+    """With distinct per-shard data the shard_map step must still produce a
+    consistent replicated state (pmean'd grads/stats) and finite global
+    metrics; a second step must consume the donated state cleanly."""
+    from pointcloudprocessing_tpu.parallel.mesh import (
+        data_parallel_mesh,
+        replicated_sharding,
+    )
+
+    n_dev = 8
+    model = PointNet(num_classes=C, num_parts=P)
+    freeze = FreezeFlags()
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), N, LearningConfig(rate=1e-3), freeze
+    )
+    mesh = data_parallel_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+    sm = steps_lib.make_shardmap_train_multi_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0), mesh
+    )
+    rng_np = np.random.default_rng(3)
+    xs = jnp.asarray(rng_np.normal(size=(2, B * n_dev, N, 3)).astype(np.float32))
+    ts = {
+        "classification_output": jnp.asarray(
+            rng_np.integers(0, C, (2, B * n_dev)).astype(np.int32)),
+        "segmentation_output": jnp.asarray(
+            rng_np.integers(0, P, (2, B * n_dev, N)).astype(np.int32)),
+        "se3": jnp.asarray(np.broadcast_to(
+            np.eye(3, dtype=np.float32), (2, B * n_dev, 3, 3)).copy()),
+    }
+
+    # pmean correctness with DISTINCT shard data: the reported global
+    # first-step loss must equal the mean of single-device losses computed
+    # per shard slice at the same initial params (zero jitter, so the
+    # per-replica noise fold is inert)
+    single = steps_lib.make_train_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0)
+    )
+    shard_losses = []
+    for s in range(n_dev):
+        st, _ = steps_lib.init_train_state(
+            model, jax.random.key(0), N, LearningConfig(rate=1e-3), freeze
+        )
+        sl = slice(s * B, (s + 1) * B)
+        _, lg = single(
+            st, xs[0, sl],
+            jax.tree_util.tree_map(lambda a, sl=sl: a[0, sl], ts),
+            jax.random.key(1),
+        )
+        shard_losses.append(float(lg["loss"]))
+
+    state, logs = sm(state, xs, ts, jax.random.key(1))
+    assert np.isfinite(np.asarray(logs["loss"])).all()
+    assert float(logs["loss"][0]) == pytest.approx(
+        float(np.mean(shard_losses)), rel=1e-5
+    )
+    assert float(logs["segmentation_total"][0]) == 8 * B * N  # psum'd count
+    state, logs = sm(state, xs, ts, jax.random.key(2))
+    assert np.isfinite(np.asarray(logs["loss"])).all()
