@@ -345,6 +345,31 @@ class PointCloudSet:
             shuffle_points,
         )
 
+    def _split_bounds(self, num: int) -> dict:
+        """Ceil-based test/val/train boundaries in that order
+        (PointCloudSet.py:245-247) — the ONE definition shared by both
+        writers (add_data and the native-ingest _add_encoded), so the split
+        rule cannot drift between the Python and native dataset paths."""
+        n_test = int(np.ceil(num * self._test_amt))
+        n_val = int(np.ceil(num * self._val_amt))
+        return {
+            "test": (0, min(n_test, num)),
+            "val": (min(n_test, num), min(n_test + n_val, num)),
+            "train": (min(n_test + n_val, num), num),
+        }
+
+    def _census_record(self, census: dict, class_id: int, part_counts) -> None:
+        """One record's census bookkeeping (shared by both writers).
+        ``part_counts``: iterable of (label, count); zero counts still
+        create the label key (reference census format)."""
+        cls_name = self._class_str[int(class_id)]
+        census["class_count"][cls_name] = (
+            census["class_count"].get(cls_name, 0) + 1
+        )
+        for lbl, cnt in part_counts:
+            census["part_count"][lbl] = census["part_count"].get(lbl, 0) + int(cnt)
+        census["count"] += 1
+
     def _add_encoded(
         self,
         set_name: str,
@@ -361,13 +386,7 @@ class PointCloudSet:
         if shuffle_points and num:
             order = self._rng.permutation(num)
 
-        n_test = int(np.ceil(num * self._test_amt))
-        n_val = int(np.ceil(num * self._val_amt))
-        splits = {
-            "test": (0, min(n_test, num)),
-            "val": (min(n_test, num), min(n_test + n_val, num)),
-            "train": (min(n_test + n_val, num), num),
-        }
+        splits = self._split_bounds(num)
 
         os.makedirs(f"{self._set_dir}/{set_name}", exist_ok=True)
 
@@ -378,17 +397,13 @@ class PointCloudSet:
             with open(path, "wb") as f:
                 for i in range(start, end):
                     j = int(order[i])
-                    cls_name = self._class_str[int(class_ids[j])]
-                    census["class_count"][cls_name] = (
-                        census["class_count"].get(cls_name, 0) + 1
-                    )
                     hist = part_hists[j]
-                    for k, lbl in enumerate(part_names):
-                        census["part_count"][lbl] = census["part_count"].get(
-                            lbl, 0
-                        ) + int(hist[k])
+                    self._census_record(
+                        census,
+                        class_ids[j],
+                        ((lbl, hist[k]) for k, lbl in enumerate(part_names)),
+                    )
                     f.write(records[j])
-                    census["count"] += 1
 
         self._sets_added += 1
         self.save()
@@ -412,13 +427,7 @@ class PointCloudSet:
             part_labels = part_labels[indices]
             se3 = se3[indices]
 
-        n_test = int(np.ceil(num * self._test_amt))
-        n_val = int(np.ceil(num * self._val_amt))
-        splits = {
-            "test": (0, min(n_test, num)),
-            "val": (min(n_test, num), min(n_test + n_val, num)),
-            "train": (min(n_test + n_val, num), num),
-        }
+        splits = self._split_bounds(num)
 
         os.makedirs(f"{self._set_dir}/{set_name}", exist_ok=True)
 
@@ -426,22 +435,19 @@ class PointCloudSet:
             path = f"{self._set_dir}/{set_name}/{split}_{self._sets_added}.tfrecord"
             with tfrecord.TFRecordWriter(path) as writer:
                 for i in range(start, end):
-                    census = self._data_size[split]
-                    cls_name = self._class_str[int(class_labels[i])]
-                    census["class_count"][cls_name] = (
-                        census["class_count"].get(cls_name, 0) + 1
+                    self._census_record(
+                        self._data_size[split],
+                        class_labels[i],
+                        (
+                            (lbl, np.count_nonzero(part_labels[i] == lbl_idx))
+                            for lbl, lbl_idx in self._part_labels.items()
+                        ),
                     )
-                    for lbl, lbl_idx in self._part_labels.items():
-                        count = int(np.count_nonzero(part_labels[i] == lbl_idx))
-                        census["part_count"][lbl] = (
-                            census["part_count"].get(lbl, 0) + count
-                        )
                     writer.write(
                         tfrecord.encode_example(
                             observations[i], int(class_labels[i]), part_labels[i], se3[i]
                         )
                     )
-                    census["count"] += 1
 
         self._sets_added += 1
         self.save()

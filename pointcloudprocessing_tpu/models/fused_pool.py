@@ -42,32 +42,26 @@ def _norm_scale(var, eps, dtype):
 #: backend/dtype so the dispatch branches can be validated everywhere.
 _FORCE_PALLAS = False
 
-#: set by the training driver when the step compiles under a MULTI-DEVICE
-#: GSPMD mesh (jit with NamedShardings): pallas_call custom calls carry no
-#: SPMD partitioning rule, so GSPMD cannot shard through them — the jnp
-#: formulation (pure XLA HLO, fully partitionable) must be used there.
-#: Single-device jit and shard_map-wrapped programs (per-shard execution,
-#: models/pipeline.py) keep the kernels.
-_GSPMD_ACTIVE = False
-
-
-def set_gspmd_mode(active: bool) -> None:
-    """Trace-time switch: disable the Pallas pooled-chain kernels while a
-    multi-device GSPMD-partitioned train step is being built."""
-    global _GSPMD_ACTIVE
-    _GSPMD_ACTIVE = bool(active)
-
-
 def _use_pallas(cfg, x, kernel) -> bool:
     """TPU training path: keep every (b, n, C) intermediate in VMEM via the
     Pallas kernels (ops/pallas/pooled_chain.py). Only for batch-stats mode
     in bf16 on lane-aligned shapes — everything else (eval, frozen, f32
-    parity mode, odd shapes, CPU, multi-device GSPMD) keeps the jnp
-    formulation below."""
-    use_running, _, _, dtype = cfg
-    if use_running:
+    parity mode, odd shapes, CPU) keeps the jnp formulation below.
+
+    ``cfg[4]`` (optional, default True) is the caller's allow flag,
+    threaded from ``PointNet(allow_pallas=...)``: the training driver sets
+    it False when the step compiles under a MULTI-DEVICE GSPMD jit —
+    pallas_call custom calls carry no SPMD partitioning rule, so GSPMD
+    cannot shard through them. Single-device jit and shard_map-wrapped
+    programs (per-shard execution, models/pipeline.py,
+    steps.make_shardmap_train_multi_step) keep the kernels. An explicit
+    per-model flag, not a mutable global: the dispatch is decided at trace
+    time, and jit traces lazily/retraces on new shapes — globally-ordered
+    mutation would be a latent mis-trace hazard."""
+    use_running, _, _, dtype = cfg[:4]
+    if len(cfg) > 4 and not cfg[4]:
         return False
-    if _GSPMD_ACTIVE:
+    if use_running:
         return False
     if _FORCE_PALLAS:
         return True
@@ -83,7 +77,7 @@ def _use_pallas(cfg, x, kernel) -> bool:
 
 def _forward(cfg, x, kernel, scale, bias, run_mean, run_var):
     """Returns (pooled (b, c), batch_mean, batch_var, argmax, xhat_w)."""
-    use_running, _, eps, dtype = cfg
+    use_running, _, eps, dtype = cfg[:4]
     cdtype = dtype or x.dtype
     b, n, _ = x.shape
 
@@ -170,7 +164,7 @@ def _fwd(cfg, x, kernel, scale, bias, run_mean, run_var):
 
 
 def _bwd(cfg, residuals, cotangents):
-    use_running, _, eps, dtype = cfg
+    use_running, _, eps, dtype = cfg[:4]
     g_out, _, _ = cotangents  # stats cotangents are update-path only
     x, kernel, scale, pooled, mean, var, argmax, xhat_w = residuals
     cdtype = dtype or x.dtype
@@ -191,21 +185,35 @@ def _bwd(cfg, residuals, cotangents):
 
     if use_running:
         sum1 = sum2 = None
+        m_small = const_row = dk_dense_term = None
     else:
         sum1 = jnp.sum(dy_w, axis=0)  # Sum dy
         sum2 = jnp.sum(dy_w * xhat_w, axis=0)  # Sum dy*xhat
+        # dense batch-stats term, factored through the matmul (shared by
+        # BOTH formulations below — one definition so the algebra cannot
+        # drift between them):
+        # D = -(1/N) * s * (sum1 + xhat * sum2)
+        # D @ W^T = x @ M + const_row, with xhat = (x@W - mu) * inv
+        q = -(s * sum2 * inv) / num  # (C,)
+        m_small = (kernel * q[None, :]) @ kernel.T  # (c_in, c_in)
+        const_row = (-(s * sum1) / num + mean * inv * s * sum2 / num) @ kernel.T
+
+        def dk_dense_term(xsum, xtx):
+            # dW dense part: x^T @ D = -(1/N)[ (x^T 1) (s sum1)^T
+            #                + (x^T x W - (x^T 1) mu^T) diag(inv s sum2) ]
+            return -(
+                jnp.outer(xsum, s * sum1)
+                + (xtx @ kernel - jnp.outer(xsum, mean))
+                * (inv * s * sum2)[None, :]
+            ) / num
 
     if _use_pallas(cfg, x, kernel):
         from pointcloudprocessing_tpu.ops.pallas.pooled_chain import (
             pooled_chain_backward,
         )
 
-        # dense batch-stats term, factored through the matmul (same algebra
-        # as the jnp branch below); the kernel fuses it into the dx tiles.
-        # xsum/xtx for the dense dW term are one cheap (b*n, c_in) pass.
-        q = -(s * sum2 * inv) / num
-        m_small = (kernel * q[None, :]) @ kernel.T
-        const_row = (-(s * sum1) / num + mean * inv * s * sum2 / num) @ kernel.T
+        # the kernel fuses the dense term into its dx tiles; xsum/xtx for
+        # the dense dW term are one cheap (b*n, c_in) pass
         xb = x.astype(cdtype)
         x2 = xb.reshape(-1, x.shape[-1])
         xsum = jnp.sum(x2.astype(jnp.float32), axis=0)
@@ -216,13 +224,9 @@ def _bwd(cfg, residuals, cotangents):
         dx, dk_sparse = pooled_chain_backward(
             xb, kernel, coef, argmax, m_small, const_row
         )
-        dk_dense = -(
-            jnp.outer(xsum, s * sum1)
-            + (xtx @ kernel - jnp.outer(xsum, mean)) * (inv * s * sum2)[None, :]
-        ) / num
         return (
             dx.astype(x.dtype),
-            (dk_sparse + dk_dense).astype(kernel.dtype),
+            (dk_sparse + dk_dense_term(xsum, xtx)).astype(kernel.dtype),
             dscale.astype(scale.dtype),
             dbias.astype(scale.dtype),
             jnp.zeros_like(mean),
@@ -241,23 +245,10 @@ def _bwd(cfg, residuals, cotangents):
     ).astype(jnp.float32)
 
     if not use_running:
-        # dense batch-stats term, factored through the matmul:
-        # D = -(1/N) * s * (sum1 + xhat * sum2)
-        # D @ W^T = x @ M + const_row, with xhat = (x@W - mu) * inv
-        q = -(s * sum2 * inv) / num  # (C,)
-        m_small = (kernel * q[None, :]) @ kernel.T  # (c_in, c_in)
-        const_row = (-(s * sum1) / num + mean * inv * s * sum2 / num) @ kernel.T
         dx = dx + x @ m_small.astype(x.dtype) + const_row.astype(x.dtype)[None, None, :]
-
-        # dW dense part: x^T @ D = -(1/N)[ (x^T 1) (s sum1)^T
-        #                + (x^T x W - (x^T 1) mu^T) diag(inv s sum2) ]
         xsum = jnp.sum(x, axis=(0, 1))  # (c_in,)
         xtx = jnp.einsum("bnd,bne->de", x, x)  # (c_in, c_in)
-        dk_dense = -(
-            jnp.outer(xsum, s * sum1)
-            + (xtx @ kernel - jnp.outer(xsum, mean)) * (inv * s * sum2)[None, :]
-        ) / num
-        dkernel = dkernel + dk_dense
+        dkernel = dkernel + dk_dense_term(xsum, xtx)
 
     return (
         dx.astype(x.dtype),

@@ -225,6 +225,11 @@ class PooledPointwiseBlock(nn.Module):
     features: int
     bn_momentum: float = KERAS_BN_MOMENTUM
     dtype: Optional[jnp.dtype] = None
+    #: False forces the jnp formulation — required when the train step
+    #: compiles under multi-device GSPMD jit, which cannot partition the
+    #: Pallas custom calls (the shard_map mode keeps them; see
+    #: train/steps.py::make_shardmap_train_multi_step)
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool, frozen: bool = False) -> jnp.ndarray:
@@ -234,7 +239,8 @@ class PooledPointwiseBlock(nn.Module):
         scale, bias, mean_v, var_v = _BNVars(self.features, name="bn")()
 
         use_running = (not train) or frozen
-        cfg = (use_running, self.bn_momentum, KERAS_BN_EPSILON, self.dtype)
+        cfg = (use_running, self.bn_momentum, KERAS_BN_EPSILON, self.dtype,
+               self.allow_pallas)
         pooled, batch_mean, batch_var = dense_bn_relu_max(
             cfg, x, kernel, scale, bias, mean_v.value, var_v.value
         )

@@ -101,6 +101,10 @@ class PointNet(nn.Module):
     # bfloat16 runs the trunk matmuls on the MXU at 2-4x f32 throughput;
     # final heads and the softmaxes stay f32. None = full f32 (parity mode).
     dtype: Optional[jnp.dtype] = None
+    #: False = jnp pooled chains only (set by the training driver when the
+    #: step compiles under multi-device GSPMD jit — it cannot partition the
+    #: Pallas custom calls; single-device and shard_map paths keep them)
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(
@@ -134,6 +138,7 @@ class PointNet(nn.Module):
                 add_regularization=self.regularize_input_transform,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
+                allow_pallas=self.allow_pallas,
                 name="input_transform",
             )(pc, train=train, frozen=freeze.input_transform)
             x = pc @ r
@@ -159,6 +164,7 @@ class PointNet(nn.Module):
                 add_regularization=self.regularize_feature_transform,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
+                allow_pallas=self.allow_pallas,
                 name="feature_transform",
             )(x, train=train, frozen=freeze.shared_network)
             x_64 = x @ r64
@@ -176,7 +182,8 @@ class PointNet(nn.Module):
         # with a custom VJP: the (b, n, 1024) activation is the widest tensor
         # in the network and its backward otherwise dominates HBM traffic.
         global_features = PooledPointwiseBlock(
-            1024, bn_momentum=self.bn_momentum, dtype=self.dtype, name="mlp_2_3"
+            1024, bn_momentum=self.bn_momentum, dtype=self.dtype,
+            allow_pallas=self.allow_pallas, name="mlp_2_3"
         )(x, train=train, frozen=freeze.shared_network)  # (b, 1024)
 
         outputs: dict[str, jnp.ndarray] = {}

@@ -50,6 +50,7 @@ class TNet(nn.Module):
     conv_activation: Optional[str] = "relu"
     w_init_zeros: bool = False
     dtype: Optional[jnp.dtype] = None
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool, frozen: bool = False) -> jnp.ndarray:
@@ -69,7 +70,7 @@ class TNet(nn.Module):
             # activation never backs gradients through HBM
             h = PooledPointwiseBlock(
                 widths[2], bn_momentum=self.bn_momentum, dtype=self.dtype,
-                name="conv_layer_3",
+                allow_pallas=self.allow_pallas, name="conv_layer_3",
             )(h, train=train, frozen=frozen)
         else:  # legacy TNet (no BN/activation, PointNetClassifier.py:283-285)
             h = PointwiseBlock(

@@ -231,6 +231,7 @@ class TrainProfile:
             compute_dtype = None
         else:
             raise ValueError(f"Unknown compute_dtype {cfg.compute_dtype!r}")
+        _, use_mesh, use_shardmap = self._parallel_plan()
         model = PointNet(
             num_classes=cfg.num_classes,
             num_parts=cfg.num_parts,
@@ -239,6 +240,12 @@ class TrainProfile:
             regularize_input_transform=cfg.regularize_input_transform,
             regularize_feature_transform=cfg.regularize_feature_transform,
             dtype=compute_dtype,
+            # multi-device GSPMD jit cannot partition the Pallas pooled
+            # chains; shard_map (per-shard programs) and single-device
+            # stages keep them. An explicit model flag read at trace time —
+            # not a process-global — so lazy jit tracing cannot capture a
+            # stale mode.
+            allow_pallas=not use_mesh or use_shardmap,
         )
         freeze = freeze_flags_from_trainable(stage.trainable)
 
@@ -305,6 +312,36 @@ class TrainProfile:
             )
         return state, batch_logs
 
+    def _parallel_plan(self) -> tuple[int, bool, bool]:
+        """(points_axis, use_mesh, use_shardmap) from config + visible
+        devices — deterministic, so _build_state can set the model's
+        allow_pallas flag consistently with the mesh _train_stage builds.
+        Pure batch DP when the batch divides the device count; otherwise a
+        2-D data x points mesh soaks up the remainder. shard_map mode
+        (per-shard programs — keeps the Pallas training kernels) applies
+        only to pure data meshes."""
+        cfg = self.config
+        n_dev = len(jax.devices())
+        if n_dev <= 1:
+            return 1, False, False
+        points_axis = 1
+        if cfg.batch_size % n_dev != 0:
+            for pa in (2, 4, 8):
+                data_axis = n_dev // pa
+                if (
+                    n_dev % pa == 0
+                    and data_axis > 0
+                    and cfg.batch_size % data_axis == 0
+                    and cfg.input_width % pa == 0
+                ):
+                    points_axis = pa
+                    break
+        use_mesh = cfg.batch_size % (n_dev // points_axis) == 0
+        use_shardmap = (
+            use_mesh and self.parallel_mode == "shard_map" and points_axis == 1
+        )
+        return points_axis, use_mesh, use_shardmap
+
     def _train_stage(self, stage, model, state, optimizer, freeze) -> dict:
         cfg = self.config
         pc = self._pc_sets[stage.name]
@@ -363,38 +400,18 @@ class TrainProfile:
         # evenly; otherwise a 2-D data x points mesh (the SP analogue —
         # pointwise MLPs shard over N, the global max-pool all-reduces)
         # soaks up the remaining devices for awkward batch sizes
-        devices = jax.devices()
+        points_axis, use_mesh, use_shardmap = self._parallel_plan()
         mesh = None
-        n_dev = len(devices)
-        if n_dev > 1:
-            points_axis = 1
-            if cfg.batch_size % n_dev != 0:
-                for pa in (2, 4, 8):
-                    data_axis = n_dev // pa
-                    if (
-                        n_dev % pa == 0
-                        and data_axis > 0
-                        and cfg.batch_size % data_axis == 0
-                        and cfg.input_width % pa == 0
-                    ):
-                        points_axis = pa
-                        break
-            if cfg.batch_size % (n_dev // points_axis) == 0:
-                mesh = data_parallel_mesh(devices, points_axis=points_axis)
-                state = jax.device_put(state, replicated_sharding(mesh))
-                self._log.info(
-                    "Parallel mesh "
-                    f"{dict(zip(mesh.axis_names, mesh.devices.shape))} over "
-                    f"{n_dev} devices"
-                )
-        use_shardmap = (
-            mesh is not None
-            and self.parallel_mode == "shard_map"
-            and mesh.devices.ndim >= 1
-            and dict(zip(mesh.axis_names, mesh.devices.shape)).get("points", 1)
-            == 1
-        )
-        if self.parallel_mode == "shard_map" and mesh is not None and not use_shardmap:
+        if use_mesh:
+            devices = jax.devices()
+            mesh = data_parallel_mesh(devices, points_axis=points_axis)
+            state = jax.device_put(state, replicated_sharding(mesh))
+            self._log.info(
+                "Parallel mesh "
+                f"{dict(zip(mesh.axis_names, mesh.devices.shape))} over "
+                f"{len(devices)} devices"
+            )
+        if self.parallel_mode == "shard_map" and use_mesh and not use_shardmap:
             self._log.info(
                 "parallel_mode='shard_map' needs a pure data mesh; the "
                 "points axis is in play — falling back to GSPMD."
@@ -418,14 +435,6 @@ class TrainProfile:
                 state, logs = _sm(state, x[None], stacked, rng)
                 return state, jax.tree_util.tree_map(lambda a: a[0], logs)
 
-        # GSPMD cannot partition pallas_call custom calls — a multi-device
-        # jit-with-shardings step must trace the jnp pooled-chain
-        # formulation (models/fused_pool.py); single-device stages and the
-        # shard_map mode re-enable the kernels (the flag is trace-time, so
-        # set it before the step jits)
-        from pointcloudprocessing_tpu.models import fused_pool
-
-        fused_pool.set_gspmd_mode(mesh is not None and not use_shardmap)
         from pointcloudprocessing_tpu.parallel.mesh import NamedSharding, P
 
         if mesh is None:

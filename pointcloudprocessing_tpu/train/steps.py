@@ -155,7 +155,11 @@ def _train_step_impl(
     (train/profile.py), which shards the jnp formulation through XLA."""
     jitter_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
     if axis_name is not None:
-        jitter_rng = jax.random.fold_in(jitter_rng, jax.lax.axis_index(axis_name))
+        # distinct noise AND dropout masks per replica — correlated dropout
+        # across shards would cut effective mask diversity by the axis size
+        idx = jax.lax.axis_index(axis_name)
+        jitter_rng = jax.random.fold_in(jitter_rng, idx)
+        dropout_rng = jax.random.fold_in(dropout_rng, idx)
     x = jitter(x, jitter_rng, jitter_stdev)
 
     def loss_fn(params):

@@ -381,6 +381,10 @@ def seed_entropy_words(seed_ints) -> np.ndarray:
     words: list[int] = []
     for x in seed_ints:
         x = int(x)
+        if x < 0:
+            # numpy's SeedSequence raises here; a negative int would also
+            # never reach 0 under >>= 32 (infinite loop)
+            raise ValueError("expected non-negative seed integer")
         if x == 0:
             words.append(0)
             continue

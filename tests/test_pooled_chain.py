@@ -202,25 +202,33 @@ def test_dispatch_conditions():
         assert not fused_pool._use_pallas(cfg_train_bf16, odd, k)
 
 
-def test_gspmd_mode_disables_pallas():
-    """The training driver sets GSPMD mode while building a multi-device
-    jit-with-shardings step: pallas_call custom calls carry no SPMD
-    partitioning rule, so the jnp formulation must trace there even where
-    the Pallas path would otherwise be eligible."""
+def test_allow_pallas_flag_disables_dispatch():
+    """The training driver builds the model with allow_pallas=False when
+    the step compiles under multi-device GSPMD jit (pallas_call custom
+    calls carry no SPMD partitioning rule); the flag rides as cfg[4], so
+    the jnp formulation traces even where the Pallas path is eligible."""
     x = jnp.zeros((8, 256, 128), jnp.bfloat16)
     k = jnp.zeros((128, 256), jnp.float32)
-    cfg = (False, 0.99, KERAS_BN_EPSILON, jnp.bfloat16)
-    fused_pool.set_gspmd_mode(True)
-    try:
-        assert not fused_pool._use_pallas(cfg, x, k)
-    finally:
-        fused_pool.set_gspmd_mode(False)
+    cfg_off = (False, 0.99, KERAS_BN_EPSILON, jnp.bfloat16, False)
+    assert not fused_pool._use_pallas(cfg_off, x, k)
+    # 4-tuple cfg (no flag) defaults to allowed
+    cfg4 = (False, 0.99, KERAS_BN_EPSILON, jnp.bfloat16)
+    if jax.default_backend() in ("tpu", "axon"):
+        assert fused_pool._use_pallas(cfg4, x, k)
+
+    # the driver wiring: a multi-device GSPMD plan builds the model with
+    # allow_pallas=False, shard_map or single-device keeps True
+    from pointcloudprocessing_tpu.models import PointNet
+
+    assert PointNet(num_classes=2, num_parts=2).allow_pallas
+    assert not PointNet(num_classes=2, num_parts=2,
+                        allow_pallas=False).allow_pallas
 
 
 def test_pallas_path_under_shardmap(monkeypatch):
     """The pooled-chain kernels must run (interpret mode here) inside a
     shard_map-wrapped train step — the multi-device mode that keeps them,
-    unlike GSPMD jit (see set_gspmd_mode). One DP step on the 8-device
+    unlike GSPMD jit (see PointNet.allow_pallas). One DP step on the 8-device
     mesh with the Pallas path forced must produce a finite loss."""
     import numpy as np
     from pointcloudprocessing_tpu.core.config import LearningConfig

@@ -236,7 +236,10 @@ def test_shardmap_step_matches_single_device_on_tiled_batch(rng):
     assert len(jax.devices()) == 8
     n_dev = 8
     K = 2
-    model = PointNet(num_classes=C, num_parts=P)
+    # dropout_rate=0: the shard_map path draws PER-REPLICA dropout masks
+    # (like its per-replica jitter), which is the one intended divergence
+    # from the single-device step this equality test must exclude
+    model = PointNet(num_classes=C, num_parts=P, dropout_rate=0.0)
     learning = LearningConfig(rate=1e-3)
     freeze = FreezeFlags()
     state, optimizer = steps_lib.init_train_state(
@@ -305,7 +308,9 @@ def test_shardmap_step_distinct_shards_stays_replicated(rng):
     )
 
     n_dev = 8
-    model = PointNet(num_classes=C, num_parts=P)
+    # dropout_rate=0: the shard_map path draws per-replica dropout masks
+    # (fold_in(axis_index)) that single-device reference runs cannot see
+    model = PointNet(num_classes=C, num_parts=P, dropout_rate=0.0)
     freeze = FreezeFlags()
     state, optimizer = steps_lib.init_train_state(
         model, jax.random.key(0), N, LearningConfig(rate=1e-3), freeze
