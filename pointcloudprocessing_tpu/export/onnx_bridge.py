@@ -85,18 +85,39 @@ def export_onnx(
 
 
 def verify_onnx(path: str, points, print_func: Callable[[str], None] = print):
-    """Re-run an exported ONNX model through onnxruntime (the notebook's
-    parity check, pointnet_train.ipynb cells 15-18). Returns the output list
-    or None when onnxruntime is unavailable."""
+    """Re-run an exported ONNX model (the notebook's parity check,
+    pointnet_train.ipynb cells 15-18): through onnxruntime when installed,
+    otherwise through the native numpy interpreter
+    (export/onnx_native.py::run_onnx — executes the opset-13 subset the
+    native exporter emits). Returns the output list, or None if neither
+    engine can run the file."""
+    import numpy as np
+
     try:
         import onnxruntime as ort
     except ImportError:
-        print_func(
-            "onnxruntime is not installed; skipping ONNX re-inference check."
+        from pointcloudprocessing_tpu.export.onnx_native import (
+            parse_model,
+            run_onnx,
         )
-        return None
+
+        try:
+            parsed = parse_model(open(path, "rb").read())
+            out = run_onnx(parsed, {
+                parsed["inputs"][0]: np.asarray(points, np.float32)
+            })
+        except NotImplementedError as e:
+            print_func(
+                f"onnxruntime is not installed and the native interpreter "
+                f"cannot execute this graph ({e}); skipping the ONNX "
+                f"re-inference check."
+            )
+            return None
+        print_func(
+            "onnxruntime is not installed; re-inferred through the native "
+            "numpy interpreter instead."
+        )
+        return [out[name] for name in parsed["outputs"]]
     session = ort.InferenceSession(path)
     input_name = session.get_inputs()[0].name
-    import numpy as np
-
     return session.run(None, {input_name: np.asarray(points, np.float32)})

@@ -95,5 +95,7 @@ def test_onnx_bridge_native_fallback(tmp_path):
     parsed = parse_model(open(path, "rb").read())
     out = run_onnx(parsed, {"points": np.zeros((2, 8, 3), np.float32)})
     assert out["classification_output"].shape == (2, 3)
-    # onnxruntime itself is still absent: verify_onnx degrades to None
-    assert verify_onnx(path, np.zeros((1, 8, 3)), print_func=messages.append) is None
+    # onnxruntime is absent: verify_onnx re-infers through the native
+    # interpreter (the notebook's export->re-infer workflow, in-image)
+    outs = verify_onnx(path, np.zeros((1, 8, 3)), print_func=messages.append)
+    assert outs is not None and outs[0].shape == (1, 3)
