@@ -94,6 +94,23 @@ def main() -> None:
     print(f"LOSS {loss:.10f}", flush=True)
     print(f"CHECKSUM {checksum:.6f}", flush=True)
 
+    # second leg: the shard_map DP mode over the SAME multi-process mesh —
+    # its explicit pmean/psum collectives ride the gloo DCN transport
+    # (per-shard programs; the mode that keeps the Pallas kernels on TPU)
+    from jax.sharding import NamedSharding, PartitionSpec as SMP
+
+    sm = steps_lib.make_shardmap_train_multi_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0), mesh
+    )
+    expand = jax.jit(
+        lambda a: a[None],
+        out_shardings=NamedSharding(mesh, SMP(None, "data")),
+    )
+    xs = expand(gx)
+    ts = {k: expand(v) for k, v in global_batch.items()}
+    state, logs2 = sm(state, xs, ts, jax.random.key(9))
+    print(f"SMLOSS {float(np.asarray(logs2['loss'])[0]):.10f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -76,6 +76,13 @@ def test_two_process_train_step():
     checksums = [grab(o, "CHECKSUM") for o in outs]
     assert losses[0] == losses[1]
     assert checksums[0] == checksums[1]
+    # shard_map DP leg: per-shard programs whose pmean/psum collectives
+    # rode the same gloo DCN transport; both processes must report the
+    # identical global loss
+    sm_losses = [grab(o, "SMLOSS") for o in outs]
+    assert sm_losses[0] == sm_losses[1]
+    import math
+    assert math.isfinite(sm_losses[0])
 
     # single-process reference on the same global batch
     import jax
