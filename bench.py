@@ -171,6 +171,59 @@ def bench_latency_on_device(width: int = 1024, chain: int = 500, reps: int = 5) 
     return float(per_step / chain * 1e3)
 
 
+def bench_latency_e2e_on_device(
+    width_in: int = 2048, width_out: int = 1024, chain: int = 200, reps: int = 5
+) -> float:
+    """Single-cloud END-TO-END latency on device (voxel -> FPS -> PointNet,
+    the serving request path as ONE program) — same chained-dependency
+    methodology as bench_latency_on_device. Fills the preprocess line of
+    the serving latency budget (docs/PERF.md) with a measurement instead
+    of an estimate."""
+    model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)
+    scan = jnp.asarray(
+        np.random.default_rng(0).uniform(-12, 12, (1, width_in, 3)).astype(np.float32)
+    )
+    dummy = jnp.zeros((1, width_out, 3), jnp.float32)
+    variables = jax.device_put(model.init(jax.random.key(0), dummy, train=False))
+
+    @jax.jit
+    def chained(x):
+        def body(carry, _):
+            vox, mask = voxel_downsample_batch(carry, 0.4, layout="bcn")
+            _, sampled = farthest_point_sample_and_gather(
+                vox, width_out, mask, layout="bcn"
+            )
+            out = model.apply(variables, sampled, train=False)
+            return _tie(out, carry), ()
+
+        x, _ = jax.lax.scan(body, x, None, length=chain)
+        return x
+
+    @jax.jit
+    def noop(x):
+        return x + 1e-24
+
+    x = chained(scan)
+    _ = float(x.ravel()[0])
+    _ = float(noop(scan).ravel()[0])
+    rtt = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(noop(scan).ravel()[0])
+        rtt.append(time.perf_counter() - t0)
+    times = []
+    x = scan
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = chained(x)
+        _ = float(x.ravel()[0])
+        times.append(time.perf_counter() - t0)
+    raw = float(np.median(times))
+    corrected = raw - float(np.median(rtt))
+    per_step = corrected if corrected > 0 else raw
+    return float(per_step / chain * 1e3)
+
+
 def bench_preprocess(batch: int = 8, width: int = 8192, steps: int = 240,
                      chunk: int = 16, window: int = 256) -> float:
     """Voxel downsample + kNN PCA normals, Mpoints/sec (config 2 shape: one
@@ -388,6 +441,7 @@ def main() -> None:
     for name, fn in [
         ("latency_p50_ms (tunnel upper bound)", bench_latency_p50),
         ("latency_on_device_ms", bench_latency_on_device),
+        ("latency_e2e_on_device_ms", bench_latency_e2e_on_device),
         ("infer_cls_only_clouds_per_s", bench_infer_cls_only),
         ("preprocess_Mpts_per_s", bench_preprocess),
         ("train_clouds_per_s_b32", bench_train_step),

@@ -264,3 +264,31 @@ def test_pallas_path_under_shardmap(monkeypatch):
     }
     state, logs = sm(state, xs, ts, jax.random.key(1))
     assert np.isfinite(float(logs["loss"][0]))
+
+
+@pytest.mark.parametrize("b,n", [(3, 192), (5, 64), (2, 8192), (7, 320)])
+def test_odd_supported_shapes(rng, b, n):
+    """Every shape `supported()` admits must produce correct pooled values
+    and argmaxes through the tiling logic (_pick_tiles covers tb in
+    {8,4,2,1} x tn divisors; cross-tile combines at n > tn)."""
+    from pointcloudprocessing_tpu.ops.pallas import pooled_chain
+
+    cin, c = 128, 256
+    assert pooled_chain.supported(b, n, cin, c)
+    x = jnp.asarray(rng.normal(size=(b, n, cin)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(cin, c)).astype(np.float32) * 0.1)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, c).astype(np.float32))
+    c_row = jnp.asarray(rng.normal(size=c).astype(np.float32) * 0.1)
+    pooled, argmax = pooled_chain_forward(x, kernel, a, c_row)
+    r = jnp.maximum((x @ kernel) * a + c_row, 0.0)
+    tol = 2.0 ** -(23 - (n - 1).bit_length())
+    np.testing.assert_allclose(
+        np.asarray(pooled), np.asarray(jnp.max(r, axis=1)),
+        rtol=2 * tol, atol=1e-6,
+    )
+    am = np.asarray(argmax)
+    assert ((am >= 0) & (am < n)).all()
+    got_r = np.take_along_axis(np.asarray(r), am[:, None, :], axis=1)[:, 0, :]
+    np.testing.assert_allclose(
+        got_r, np.asarray(jnp.max(r, axis=1)), rtol=2 * tol, atol=1e-6
+    )
