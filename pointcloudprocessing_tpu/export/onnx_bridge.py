@@ -57,7 +57,7 @@ def export_onnx(
         )
 
         export_onnx_native(model, variables, input_width, path,
-                           print_func=print_func)
+                           print_func=print_func, opset=opset)
         return True
 
     import tensorflow as tf
@@ -106,11 +106,13 @@ def verify_onnx(path: str, points, print_func: Callable[[str], None] = print):
             out = run_onnx(parsed, {
                 parsed["inputs"][0]: np.asarray(points, np.float32)
             })
-        except NotImplementedError as e:
+        except Exception as e:  # missing file, foreign-producer encodings
+            # (e.g. tf2onnx packed repeated fields), unimplemented ops —
+            # degrade like the old no-onnxruntime path, never raise
             print_func(
                 f"onnxruntime is not installed and the native interpreter "
-                f"cannot execute this graph ({e}); skipping the ONNX "
-                f"re-inference check."
+                f"cannot execute this file ({type(e).__name__}: {e}); "
+                f"skipping the ONNX re-inference check."
             )
             return None
         print_func(

@@ -246,6 +246,7 @@ def export_onnx_native(
     input_width: int,
     path: str,
     print_func: Callable[[str], None] = print,
+    opset: int = 13,
 ) -> str:
     """Write the PointNet inference graph as an opset-13 .onnx file.
 
@@ -253,6 +254,11 @@ def export_onnx_native(
     dropout omitted, all three heads emitted — the reference export's
     signature (cls (-1, C), seg (-1, n, P), se3 (-1, 3, 3)).
     """
+    if opset != 13:
+        # the emitted op set is written to opset-13 semantics (ReduceSum
+        # axes-as-input, Reduce* axes attributes, Softmax axis) — refuse
+        # rather than stamp a version the graph may not satisfy
+        raise ValueError(f"native ONNX export supports opset 13 only, got {opset}")
     from pointcloudprocessing_tpu.core.constants import (
         KERAS_BN_EPSILON,
         NORMALIZATION_EPSILON,
@@ -453,6 +459,11 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
     return name, np.frombuffer(raw, np_dtype).reshape(dims).copy()
 
 
+def _signed_int(i):
+    # protobuf varints store negatives as two's complement; undo for axis=-1
+    return i - (1 << 64) if i >= (1 << 63) else i
+
+
 def _parse_node(buf: bytes) -> dict:
     node = {"inputs": [], "outputs": [], "op": "", "attrs": {}}
     for field, _, value in _parse_fields(buf):
@@ -468,9 +479,9 @@ def _parse_node(buf: bytes) -> dict:
                 if f2 == 1:
                     aname = v2.decode()
                 elif f2 == 3:
-                    ival = v2
+                    ival = _signed_int(v2)
                 elif f2 == 8:
-                    ints.append(v2)
+                    ints.append(_signed_int(v2))
             node["attrs"][aname] = ints if ints else ival
     return node
 
@@ -505,11 +516,6 @@ def parse_model(blob: bytes) -> dict:
             "outputs": outs, "opset": opset}
 
 
-def _signed_int(i):
-    # protobuf varints store negatives as two's complement; undo for axis=-1
-    return i - (1 << 64) if i >= (1 << 63) else i
-
-
 def run_onnx(parsed: dict, feeds: dict) -> dict:
     """Execute the parsed graph with numpy (the opset-13 subset we emit)."""
     env: dict[str, np.ndarray] = dict(parsed["initializers"])
@@ -535,7 +541,7 @@ def run_onnx(parsed: dict, feeds: dict) -> dict:
         elif op == "Max":
             out = np.maximum(x[0], x[1])
         elif op == "Softmax":
-            axis = _signed_int(at.get("axis", -1))
+            axis = at.get("axis", -1)
             e = np.exp(x[0] - x[0].max(axis=axis, keepdims=True))
             out = e / e.sum(axis=axis, keepdims=True)
         elif op == "ReduceMean":
@@ -560,10 +566,17 @@ def run_onnx(parsed: dict, feeds: dict) -> dict:
         elif op == "Gather":
             out = np.take(x[0], x[1], axis=at.get("axis", 0))
         elif op == "Concat":
-            out = np.concatenate(x, axis=_signed_int(at["axis"]))
+            out = np.concatenate(x, axis=at["axis"])
         elif op == "Expand":
             out = np.broadcast_to(x[0], tuple(int(d) for d in x[1])).copy()
         else:
             raise NotImplementedError(f"op {op}")
-        env[node["outputs"][0]] = out
+        outs = out if isinstance(out, tuple) else (out,)
+        if len(outs) != len(node["outputs"]):
+            raise NotImplementedError(
+                f"op {op}: {len(node['outputs'])} outputs, interpreter "
+                f"produced {len(outs)}"
+            )
+        for nm, val in zip(node["outputs"], outs):
+            env[nm] = val
     return {name: env[name] for name in parsed["outputs"]}

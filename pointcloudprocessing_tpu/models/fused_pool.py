@@ -146,7 +146,10 @@ def _forward(cfg, x, kernel, scale, bias, run_mean, run_var):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def dense_bn_relu_max(cfg, x, kernel, scale, bias, run_mean, run_var):
-    """cfg = (use_running: bool, momentum: float, eps: float, dtype|None).
+    """cfg = (use_running: bool, momentum: float, eps: float, dtype|None,
+    allow_pallas: bool = True) — the trailing flag is optional (4-tuples
+    default to allowed) and gates the Pallas kernel dispatch; see
+    _use_pallas for when callers must clear it (multi-device GSPMD jit).
 
     x (b, n, c_in) -> (pooled (b, c_out) f32, batch_mean, batch_var).
     In running-average mode the returned stats are the inputs unchanged.

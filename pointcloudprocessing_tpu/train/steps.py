@@ -278,9 +278,11 @@ def make_shardmap_train_multi_step(
     WHOLE per-shard step — Pallas training kernels included — and only the
     gradient/stat pmeans cross the ICI. Semantics: standard non-sync-BN
     data parallelism (per-shard batch statistics; replicated state stays
-    bit-identical via pmean'd grads and stat updates). With identical
-    per-shard data this is EXACTLY the single-device step (pinned in
-    test_train_steps.py).
+    bit-identical via pmean'd grads and stat updates). Each replica draws
+    DISTINCT jitter noise and dropout masks (axis_index folds into both
+    rngs) — so with identical per-shard data and dropout_rate 0 this is
+    the single-device step exactly (pinned in test_train_steps.py), while
+    with dropout active the masks intentionally diverge per replica.
 
     Call: (state replicated, xs (K, b_global, n, 3), targets (K, ...),
     rng) -> (state, logs (K, ...)) with b_global % mesh.shape[axis] == 0.
