@@ -285,6 +285,57 @@ def check_pooled_chain_training() -> None:
           max(fro(g, w) for g, w in zip(got, want)), 0.25, "rel")
 
 
+def check_shardmap_training() -> None:
+    """The shard_map DP training mode on HARDWARE (1-device 'data' mesh):
+    the per-shard program — Pallas pooled-chain kernels included (bf16
+    batch-stats mode) — must reproduce the plain jit step exactly when the
+    axis size is 1 (pmean over one replica is the identity; jitter 0 and
+    dropout 0 make the per-replica rng folds inert). This is the
+    multi-chip training mode's hardware smoke: tests cover it only in
+    CPU interpret mode."""
+    from jax.sharding import Mesh
+
+    from pointcloudprocessing_tpu.core.config import LearningConfig
+    from pointcloudprocessing_tpu.models import FreezeFlags, PointNet
+    from pointcloudprocessing_tpu.train import steps as steps_lib
+
+    b, w = 8, 1024
+    model = PointNet(num_classes=8, num_parts=4, dropout_rate=0.0,
+                     dtype=jnp.bfloat16)
+    freeze = FreezeFlags()
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), w, LearningConfig(rate=1e-3), freeze,
+        batch_size=1,
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    sm = steps_lib.make_shardmap_train_multi_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0), mesh
+    )
+    rng = np.random.default_rng(5)
+    xs = jnp.asarray(rng.normal(size=(1, b, w, 3)).astype(np.float32))
+    ts = {
+        "classification_output": jnp.asarray(
+            rng.integers(0, 8, (1, b)).astype(np.int32)),
+        "segmentation_output": jnp.asarray(
+            rng.integers(0, 4, (1, b, w)).astype(np.int32)),
+        "se3": jnp.asarray(np.broadcast_to(
+            np.eye(3, dtype=np.float32), (1, b, 3, 3)).copy()),
+    }
+    _, logs_sm = sm(state, xs, ts, jax.random.key(3))
+
+    state2, _ = steps_lib.init_train_state(
+        model, jax.random.key(0), w, LearningConfig(rate=1e-3), freeze,
+        batch_size=1,
+    )
+    plain = steps_lib.make_train_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0)
+    )
+    _, logs_plain = plain(state2, xs[0], {k: v[0] for k, v in ts.items()},
+                          jax.random.key(3))
+    drift = abs(float(logs_sm["loss"][0]) - float(logs_plain["loss"]))
+    check("shard_map-vs-plain bf16 train-step loss drift", drift, 1e-5, "abs")
+
+
 def main() -> int:
     print(f"backend: {jax.default_backend()}; devices: {jax.devices()}",
           flush=True)
@@ -296,6 +347,7 @@ def main() -> int:
         check_inference_precision_drift,
         check_shardmap_pipeline,
         check_pooled_chain_training,
+        check_shardmap_training,
     ):
         try:
             fn()
