@@ -99,3 +99,61 @@ def test_onnx_bridge_native_fallback(tmp_path):
     # interpreter (the notebook's export->re-infer workflow, in-image)
     outs = verify_onnx(path, np.zeros((1, 8, 3)), print_func=messages.append)
     assert outs is not None and outs[0].shape == (1, 3)
+
+
+def test_export_cli_from_checkpoint(tmp_path):
+    """The export CLI loads a BestCheckpoint-layout stage dir + config and
+    writes a working .onnx (native path) and .stablehlo."""
+    import json
+    import os
+
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from pointcloudprocessing_tpu.export.cli import main as export_main
+    from pointcloudprocessing_tpu.export.onnx_native import parse_model, run_onnx
+    from pointcloudprocessing_tpu.models import PointNet
+
+    width = 32
+    model = PointNet(num_classes=3, num_parts=2, vanilla=True)
+    variables = model.init(
+        jax.random.key(0), np.zeros((1, width, 3), np.float32), train=False
+    )
+    stage_dir = tmp_path / "stage"
+    ocp.StandardCheckpointer().save(
+        os.path.join(str(stage_dir), "best"),
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+    )
+    config = {
+        "info": {
+            "name": "cli_export",
+            "class_labels": {"0": "a", "1": "b", "2": "c"},
+            "part_labels": {"0": "x", "1": "y"},
+            "training_profiles": {},
+        },
+        "params": {
+            "input_width": width, "epochs": 1, "patience": 1,
+            "batch_size": 2, "vanilla": True,
+        },
+        "file_system": {},
+    }
+    cfg_path = tmp_path / "cli_export_config.json"
+    cfg_path.write_text(json.dumps(config))
+
+    onnx_path = tmp_path / "m.onnx"
+    hlo_path = tmp_path / "m.stablehlo"
+    rc = export_main([str(stage_dir), str(cfg_path), str(onnx_path), str(hlo_path)])
+    assert rc == 0
+    assert hlo_path.exists() and hlo_path.stat().st_size > 0
+
+    parsed = parse_model(open(onnx_path, "rb").read())
+    pts = np.random.default_rng(0).normal(size=(2, width, 3)).astype(np.float32)
+    got = run_onnx(parsed, {"points": pts})
+    import jax.numpy as jnp
+
+    want = model.apply(variables, jnp.asarray(pts), train=False)
+    np.testing.assert_allclose(
+        got["classification_output"],
+        np.asarray(want["classification_output"]), atol=1e-4,
+    )
