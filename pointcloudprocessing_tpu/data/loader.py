@@ -37,6 +37,10 @@ class DeviceLoader:
     se3 (b, 3, 3)} (PointCloudSet._parse_function, :325-345).
     """
 
+    #: device-resident auto-select budget: splits up to this many bytes
+    #: live in HBM whole (16 GB on v5e; leave room for model + pipeline)
+    RESIDENT_BUDGET_BYTES = 4 * 1024**3
+
     def __init__(
         self,
         arrays: dict[str, np.ndarray],
@@ -44,6 +48,7 @@ class DeviceLoader:
         shuffle: bool = True,
         seed: int | None = None,
         drop_remainder: bool = True,
+        device_resident: bool | None = None,
     ):
         self._arrays = arrays
         self._batch_size = batch_size
@@ -51,6 +56,25 @@ class DeviceLoader:
         self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._drop_remainder = drop_remainder
+        # device-resident mode: upload the whole split ONCE and assemble
+        # every batch on device (per-epoch permutation gather — ~1 ms for
+        # a GB-scale split vs re-uploading it every epoch). Two reasons:
+        # (a) host->device bandwidth is the flagship epoch's ceiling on
+        # remote-attached rigs (tunnel ~25 MB/s, docs/PERF.md); (b) the
+        # axon tunnel client RETAINS every uploaded buffer (measured
+        # ~0.8 MB RSS per 0.786 MB device_put, surviving gc) — a full
+        # kc46 run re-uploading 944 MB/epoch was OOM-killed at 130 GB RSS.
+        # None = auto: on for accelerator backends when the split fits the
+        # budget. Batch composition is bit-identical to host staging (the
+        # same _batch_indices drive a device-side gather).
+        if device_resident is None:
+            nbytes = sum(a.nbytes for a in arrays.values()) if arrays else 0
+            device_resident = (
+                jax.default_backend() in ("tpu", "axon", "gpu")
+                and 0 < nbytes <= self.RESIDENT_BUDGET_BYTES
+            )
+        self._resident = bool(device_resident)
+        self._dev_arrays = None
 
     def __len__(self) -> int:
         return len(self._arrays["class_label"])
@@ -112,8 +136,67 @@ class DeviceLoader:
         """
         if len(self) == 0:
             return
+        if self._resident and device is None:
+            yield from self._resident_batches(num_steps, epoch)
+            return
         host_batches = (self._make_batch(idx) for idx in self._batch_indices(epoch))
         yield from _prefetch_to_device(host_batches, num_steps, device, prefetch)
+
+    # -- device-resident path -------------------------------------------------
+
+    def _device_arrays(self):
+        if self._dev_arrays is None:
+            arrays = dict(self._arrays)
+            seg = arrays.get("part_labels")
+            if (
+                seg is not None
+                and seg.dtype in (np.int32, np.int64)
+                and seg.size
+                and 0 <= seg.min()
+                and seg.max() < 256
+            ):  # same wire shrink as _shrink_for_wire, paid ONCE
+                arrays["part_labels"] = seg.astype(np.uint8)
+            self._dev_arrays = jax.device_put(arrays)
+        return self._dev_arrays
+
+    def _resident_batches(self, num_steps, epoch):
+        """Assemble batches ON DEVICE from the resident split: one tiny
+        index upload + one gather per chunk of steps. Identical batch
+        composition to the host path (same _batch_indices stream)."""
+        import jax.numpy as jnp
+
+        dev = self._device_arrays()
+
+        @jax.jit
+        def gather(arrs, idx):
+            return jax.tree_util.tree_map(lambda a: a[idx], arrs)
+
+        # chunked gathers bound the transient (chunk, b, n, 3) buffer while
+        # amortizing dispatch overhead
+        chunk = 64
+        produced = 0
+        it = self._batch_indices(epoch)
+        while num_steps is None or produced < num_steps:
+            take = chunk if num_steps is None else min(chunk, num_steps - produced)
+            idx_rows = []
+            for _ in range(take):
+                try:
+                    idx_rows.append(next(it))
+                except StopIteration:
+                    break
+            if not idx_rows:
+                return
+            idx = jnp.asarray(np.stack(idx_rows).astype(np.int32))
+            batch = gather(dev, idx)  # leaves (take, b, ...)
+            for k in range(len(idx_rows)):
+                x = batch["observations"][k]
+                targets = {
+                    "classification_output": batch["class_label"][k],
+                    "segmentation_output": batch["part_labels"][k],
+                    "se3": batch["se3"][k],
+                }
+                yield x, targets
+                produced += 1
 
 
 class _ProducerFailure:

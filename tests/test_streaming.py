@@ -319,3 +319,36 @@ def test_tiny_split_epoch_mode_still_yields(split_files):
     assert len(got) == 1
     x, _t = got[0]
     assert x.shape[0] == count + 5
+
+
+def test_device_resident_matches_host_staging(rng):
+    """device_resident=True assembles batches ON DEVICE from one upload;
+    batch composition and values must be bit-identical to host staging
+    (same seed -> same _batch_indices stream), across epochs, including
+    the uint8 label shrink and the num_steps budget."""
+    import jax.numpy as jnp
+
+    from pointcloudprocessing_tpu.data.loader import DeviceLoader
+
+    n, w, b = 37, 16, 4
+    arrays = {
+        "observations": rng.normal(size=(n, w, 3)).astype(np.float32),
+        "class_label": rng.integers(0, 5, n).astype(np.int32),
+        "part_labels": rng.integers(0, 3, (n, w)).astype(np.int32),
+        "se3": rng.normal(size=(n, 3, 3)).astype(np.float32),
+    }
+    host = DeviceLoader(arrays, b, seed=7, device_resident=False)
+    dev = DeviceLoader(arrays, b, seed=7, device_resident=True)
+    assert dev._resident
+
+    for epoch in (0, 3):
+        got = list(dev.batches(num_steps=9, epoch=epoch))
+        want = list(host.batches(num_steps=9, epoch=epoch))
+        assert len(got) == len(want) == 9
+        for (gx, gt), (wx, wt) in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(gx), np.asarray(wx))
+            assert gt["segmentation_output"].dtype == jnp.uint8
+            for k in wt:
+                np.testing.assert_array_equal(
+                    np.asarray(gt[k]), np.asarray(wt[k])
+                )
