@@ -159,10 +159,20 @@ class DeviceLoader:
             self._dev_arrays = jax.device_put(arrays)
         return self._dev_arrays
 
-    def _resident_batches(self, num_steps, epoch):
-        """Assemble batches ON DEVICE from the resident split: one tiny
-        index upload + one gather per chunk of steps. Identical batch
-        composition to the host path (same _batch_indices stream)."""
+    def chunks(self, chunk: int, num_steps: int | None = None,
+               epoch: int | None = None):
+        """Device-resident STACKED-chunk stream for the scanned train step:
+        yields (xs (k, b, n, 3), targets {... (k, b, ...)}) with k == chunk
+        except possibly the last. One device gather per chunk — no per-step
+        slicing, no host staging, no re-stacking (each of those is a
+        ~2-4 ms tunnel dispatch; at 900 steps/epoch the per-step form costs
+        more than the training compute). Only available in device-resident
+        mode (None otherwise — callers fall back to batches())."""
+        if not (self._resident and len(self)):
+            return None
+        return self._chunk_iter(chunk, num_steps, epoch)
+
+    def _chunk_iter(self, chunk, num_steps, epoch):
         import jax.numpy as jnp
 
         dev = self._device_arrays()
@@ -171,9 +181,6 @@ class DeviceLoader:
         def gather(arrs, idx):
             return jax.tree_util.tree_map(lambda a: a[idx], arrs)
 
-        # chunked gathers bound the transient (chunk, b, n, 3) buffer while
-        # amortizing dispatch overhead
-        chunk = 64
         produced = 0
         it = self._batch_indices(epoch)
         while num_steps is None or produced < num_steps:
@@ -187,16 +194,23 @@ class DeviceLoader:
             if not idx_rows:
                 return
             idx = jnp.asarray(np.stack(idx_rows).astype(np.int32))
-            batch = gather(dev, idx)  # leaves (take, b, ...)
-            for k in range(len(idx_rows)):
-                x = batch["observations"][k]
-                targets = {
-                    "classification_output": batch["class_label"][k],
-                    "segmentation_output": batch["part_labels"][k],
-                    "se3": batch["se3"][k],
-                }
-                yield x, targets
-                produced += 1
+            batch = gather(dev, idx)  # leaves (k, b, ...)
+            xs = batch["observations"]
+            targets = {
+                "classification_output": batch["class_label"],
+                "segmentation_output": batch["part_labels"],
+                "se3": batch["se3"],
+            }
+            yield xs, targets
+            produced += len(idx_rows)
+
+    def _resident_batches(self, num_steps, epoch):
+        """Per-step batches assembled on device (chunked gathers + slices).
+        Prefer :meth:`chunks` for the scanned trainer — per-step slicing
+        costs a dispatch per leaf."""
+        for xs, targets in self._chunk_iter(64, num_steps, epoch):
+            for k in range(xs.shape[0]):
+                yield xs[k], jax.tree_util.tree_map(lambda a, k=k: a[k], targets)
 
 
 class _ProducerFailure:

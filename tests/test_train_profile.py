@@ -231,3 +231,38 @@ def test_shardmap_parallel_mode_training(tmp_path):
     assert len(h["loss"]) == 2
     assert np.isfinite(h["loss"]).all()
     assert np.isfinite(h["val_loss"]).all()
+
+
+def test_resident_loader_training_matches_host_staging(tmp_path, monkeypatch):
+    """The device-resident chunks fast path must train IDENTICALLY to host
+    staging: same seeded batch order drives both, so stage histories agree
+    to float-accumulation noise. (Resident mode is auto-off on the CPU test
+    backend; forced here.)"""
+    import functools
+
+    from pointcloudprocessing_tpu.data import pointcloudset as pcs_mod
+    from pointcloudprocessing_tpu.data.loader import DeviceLoader
+    from pointcloudprocessing_tpu.train.profile import TrainProfile
+
+    def run(root, resident):
+        root.mkdir()
+        config_path = make_config(root, epochs=2, stages=("classification_pretrain",))
+        if resident:
+            monkeypatch.setattr(
+                pcs_mod, "DeviceLoader",
+                functools.partial(DeviceLoader, device_resident=True),
+            )
+        else:
+            monkeypatch.setattr(pcs_mod, "DeviceLoader", DeviceLoader)
+        tp = TrainProfile(config_path, log_to_file=False)
+        tp.steps_per_dispatch = 2  # chunked path + a tail step
+        return tp.train()["classification_pretrain"]
+
+    h_host = run(tmp_path / "host", resident=False)
+    h_res = run(tmp_path / "res", resident=True)
+    assert len(h_res["loss"]) == len(h_host["loss"]) == 2
+    for key in ("loss", "val_loss",
+                "classification_output_sparse_categorical_accuracy"):
+        np.testing.assert_allclose(
+            h_res[key], h_host[key], rtol=1e-6, atol=1e-9, err_msg=key
+        )
