@@ -121,10 +121,12 @@ def test_export_cli_from_checkpoint(tmp_path):
         jax.random.key(0), np.zeros((1, width, 3), np.float32), train=False
     )
     stage_dir = tmp_path / "stage"
-    ocp.StandardCheckpointer().save(
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
         os.path.join(str(stage_dir), "best"),
         {"params": variables["params"], "batch_stats": variables["batch_stats"]},
     )
+    ckptr.wait_until_finished()  # StandardCheckpointer saves asynchronously
     config = {
         "info": {
             "name": "cli_export",
