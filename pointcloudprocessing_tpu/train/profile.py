@@ -400,6 +400,11 @@ class TrainProfile:
             if chunk > 1
             else None
         )
+        eval_multi = (
+            steps_lib.make_eval_multi_step(model, weights, jitter_stdev)
+            if chunk > 1
+            else None
+        )
 
         train_loader = pc.get_train_set()
         val_loader = pc.get_val_set()
@@ -566,14 +571,53 @@ class TrainProfile:
                 train_metrics = _epoch_metrics(jax.device_get(batch_logs))
 
                 val_logs = []
-                for i, (x, targets) in enumerate(
-                    val_loader.batches(
-                        num_steps=validation_steps, device=batch_device, epoch=epoch
-                    )
-                ):
-                    # fresh jitter noise per validation batch/epoch
-                    batch_rng = jax.random.fold_in(rng, epoch * validation_steps + i)
-                    val_logs.append(eval_step(state, x, targets, batch_rng))
+                val_chunk_iter = None
+                if eval_multi is not None and batch_device is None:
+                    maker = getattr(val_loader, "chunks", None)
+                    if maker is not None:
+                        val_chunk_iter = maker(
+                            chunk, num_steps=validation_steps, epoch=epoch
+                        )
+                if val_chunk_iter is not None:
+                    # device-resident fast path, mirroring the train loop:
+                    # K eval batches per dispatch via the scanned eval step.
+                    # Per-batch jitter rng folds (epoch * steps + i) inside
+                    # the scan — numerically identical to the per-batch loop.
+                    done = 0
+                    for xs, ts in val_chunk_iter:
+                        if xs.shape[0] == chunk:
+                            val_logs.append(
+                                eval_multi(
+                                    state, xs, ts, rng,
+                                    epoch * validation_steps + done,
+                                )
+                            )
+                            done += chunk
+                        else:  # epoch tail smaller than a chunk
+                            for k in range(xs.shape[0]):
+                                batch_rng = jax.random.fold_in(
+                                    rng, epoch * validation_steps + done
+                                )
+                                val_logs.append(
+                                    eval_step(
+                                        state,
+                                        xs[k],
+                                        jax.tree_util.tree_map(
+                                            lambda a, k=k: a[k], ts
+                                        ),
+                                        batch_rng,
+                                    )
+                                )
+                                done += 1
+                else:
+                    for i, (x, targets) in enumerate(
+                        val_loader.batches(
+                            num_steps=validation_steps, device=batch_device, epoch=epoch
+                        )
+                    ):
+                        # fresh jitter noise per validation batch/epoch
+                        batch_rng = jax.random.fold_in(rng, epoch * validation_steps + i)
+                        val_logs.append(eval_step(state, x, targets, batch_rng))
                 val_metrics = {
                     f"val_{k}": v
                     for k, v in _epoch_metrics(jax.device_get(val_logs)).items()

@@ -349,6 +349,52 @@ def make_eval_step(
     return jax.jit(step)
 
 
+def make_eval_multi_step(
+    model: PointNet,
+    loss_weights: tuple[float, float, float],
+    jitter_stdev: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    apply_jitter: bool = True,
+) -> Callable:
+    """K eval batches per dispatch: (state, xs (K,b,n,3), targets (K,...),
+    rng, start) -> logs with leading K.
+
+    Numerically identical to K sequential ``make_eval_step`` calls where
+    batch i uses ``fold_in(rng, start + i)`` — the per-batch jitter rng the
+    driver derives from the global validation-step index folds inside the
+    scan, so a resumed run and a chunked run draw the same noise. One
+    dispatch instead of K (each dispatch costs ~2-4 ms of host/tunnel
+    overhead; at flagship scale the per-batch val loop was ~1.5 s/epoch of
+    pure dispatch)."""
+
+    def one(state: TrainState, x, targets, rng):
+        if apply_jitter:
+            x = jitter(x, rng, jitter_stdev)
+        outputs, updates = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+            mutable=["reg_losses"],
+        )
+        reg_sum = sum(
+            jnp.sum(v)
+            for v in jax.tree_util.tree_leaves(updates.get("reg_losses", {}))
+        )
+        total, head_losses = multi_head_loss(outputs, targets, loss_weights, reg_sum)
+        return {"loss": total, **head_losses, **_metric_sums(outputs, targets)}
+
+    def multi(state: TrainState, xs, targets, rng, start):
+        ks = jnp.arange(xs.shape[0]) + start
+
+        def body(_, inp):
+            x_k, t_k, k = inp
+            return None, one(state, x_k, t_k, jax.random.fold_in(rng, k))
+
+        _, logs = jax.lax.scan(body, None, (xs, targets, ks))
+        return logs
+
+    return jax.jit(multi)
+
+
 def make_predict_fn(model: PointNet) -> Callable:
     """Inference entry: (variables, x) -> outputs dict (jitted)."""
 

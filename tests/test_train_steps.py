@@ -222,6 +222,41 @@ def test_multi_step_matches_sequential(rng):
         np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), rtol=1e-5, atol=1e-7)
 
 
+def test_eval_multi_step_matches_sequential(rng):
+    """make_eval_multi_step must reproduce K sequential make_eval_step calls
+    bit-for-bit, including the per-batch rng fold the driver uses
+    (fold_in(rng, start + i))."""
+    model = PointNet(num_classes=3, num_parts=2, vanilla=True)
+    freeze = FreezeFlags()
+    K, B_, W = 3, 4, 16
+    state, _ = steps_lib.init_train_state(
+        model, jax.random.key(0), W, LearningConfig(rate=1e-3), freeze,
+        batch_size=1,
+    )
+    xs = jnp.asarray(rng.normal(size=(K, B_, W, 3)).astype(np.float32))
+    targets = {
+        "classification_output": jnp.asarray(rng.integers(0, 3, (K, B_)).astype(np.int32)),
+        "segmentation_output": jnp.asarray(rng.integers(0, 2, (K, B_, W)).astype(np.int32)),
+        "se3": jnp.asarray(np.broadcast_to(np.eye(3, dtype=np.float32), (K, B_, 3, 3)).copy()),
+    }
+    key = jax.random.key(11)
+    start = 37  # like epoch * validation_steps mid-run
+
+    single = steps_lib.make_eval_step(model, (1.0, 1.0, 0.1), (0.01, 0.0, 0.0))
+    seq = []
+    for k in range(K):
+        tk = jax.tree_util.tree_map(lambda a, k=k: a[k], targets)
+        seq.append(single(state, xs[k], tk, jax.random.fold_in(key, start + k)))
+
+    multi = steps_lib.make_eval_multi_step(model, (1.0, 1.0, 0.1), (0.01, 0.0, 0.0))
+    stacked = jax.device_get(multi(state, xs, targets, key, start))
+    for k in range(K):
+        for name, val in seq[k].items():
+            np.testing.assert_allclose(
+                np.asarray(stacked[name])[k], np.asarray(val), rtol=1e-6, atol=0
+            )
+
+
 def test_shardmap_step_matches_single_device_on_tiled_batch(rng):
     """make_shardmap_train_multi_step with every shard holding IDENTICAL
     data must reproduce the single-device scanned step exactly: per-shard
