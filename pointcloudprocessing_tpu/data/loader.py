@@ -75,6 +75,7 @@ class DeviceLoader:
             )
         self._resident = bool(device_resident)
         self._dev_arrays = None
+        self._shard_cache: tuple | None = None  # (mesh, dev_arrays, real_counts)
 
     def __len__(self) -> int:
         return len(self._arrays["class_label"])
@@ -160,17 +161,142 @@ class DeviceLoader:
         return self._dev_arrays
 
     def chunks(self, chunk: int, num_steps: int | None = None,
-               epoch: int | None = None):
+               epoch: int | None = None, mesh=None):
         """Device-resident STACKED-chunk stream for the scanned train step:
         yields (xs (k, b, n, 3), targets {... (k, b, ...)}) with k == chunk
         except possibly the last. One device gather per chunk — no per-step
         slicing, no host staging, no re-stacking (each of those is a
         ~2-4 ms tunnel dispatch; at 900 steps/epoch the per-step form costs
         more than the training compute). Only available in device-resident
-        mode (None otherwise — callers fall back to batches())."""
+        mode (None otherwise — callers fall back to batches()).
+
+        With ``mesh`` (a 1-D ``data`` Mesh), the split is uploaded ONCE
+        sharded over the mesh's data axis and every chunk assembles via
+        shard-LOCAL gathers (shard_map) — no cross-device traffic and no
+        per-epoch re-upload (see :meth:`_sharded_chunk_iter` for the batch
+        composition semantics). Requires a seeded loader, an epoch index at
+        iteration time, batch_size divisible by the data-axis size, and a
+        mesh without an active points axis; returns None otherwise."""
         if not (self._resident and len(self)):
             return None
-        return self._chunk_iter(chunk, num_steps, epoch)
+        if mesh is None:
+            return self._chunk_iter(chunk, num_steps, epoch)
+        if (
+            self._seed is None
+            or epoch is None
+            or not self._shuffle
+            or "data" not in mesh.axis_names
+            or any(
+                mesh.shape[ax] > 1 for ax in mesh.axis_names if ax != "data"
+            )
+            or self._batch_size % mesh.shape["data"] != 0
+            or len(self) < self._batch_size
+        ):
+            return None
+        return self._sharded_chunk_iter(chunk, num_steps, epoch, mesh)
+
+    # -- sharded (multi-device) resident path ----------------------------------
+
+    def _sharded_device_arrays(self, mesh):
+        """Upload the split ONCE sharded over the mesh's data axis.
+
+        Rows are distributed ROUND-ROBIN (row r -> shard r % n_data) and each
+        shard is padded to the common length m = ceil(N / n_data) by
+        repeating its first row (pad slots are never indexed). Round-robin
+        keeps shard sizes within one row of each other, which guarantees
+        every shard can supply b_local rows for all N // batch_size steps of
+        an epoch without replacement."""
+        if self._shard_cache is not None and self._shard_cache[0] is mesh:
+            return self._shard_cache[1:]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        n = len(self)
+        m = -(-n // n_data)
+        layout = np.empty(n_data * m, np.int64)
+        real = np.empty(n_data, np.int64)
+        for s in range(n_data):
+            rows = np.arange(s, n, n_data)
+            real[s] = len(rows)
+            layout[s * m : s * m + len(rows)] = rows
+            layout[s * m + len(rows) : (s + 1) * m] = rows[0] if len(rows) else 0
+        arrays = dict(self._arrays)
+        seg = arrays.get("part_labels")
+        if (
+            seg is not None
+            and seg.dtype in (np.int32, np.int64)
+            and seg.size
+            and 0 <= seg.min()
+            and seg.max() < 256
+        ):  # same wire shrink as _device_arrays, paid ONCE
+            arrays["part_labels"] = seg.astype(np.uint8)
+        sharding = NamedSharding(mesh, P("data"))
+        dev = {k: jax.device_put(a[layout], sharding) for k, a in arrays.items()}
+
+        def local_gather(arrs, idx):
+            loc = idx[:, 0]  # (k, b_local) — this shard's slots
+            return jax.tree_util.tree_map(lambda a: a[loc], arrs)
+
+        gather = jax.jit(
+            jax.shard_map(
+                local_gather,
+                mesh=mesh,
+                in_specs=(P("data"), P(None, "data")),
+                out_specs=P(None, "data"),
+                check_vma=False,
+            )
+        )
+        self._shard_cache = (mesh, dev, real, gather)
+        return dev, real, gather
+
+    def _sharded_chunk_iter(self, chunk, num_steps, epoch, mesh):
+        """Stacked chunks assembled by shard-LOCAL gathers over the mesh.
+
+        Batch composition: each of the mesh's n_data shards contributes
+        b_local = batch // n_data rows drawn from a per-shard per-epoch
+        permutation (rng = default_rng((seed, epoch, shard))) of the rows the
+        round-robin layout assigned it. Every record appears exactly once per
+        epoch (up to the standard drop-remainder tail) and the sequence is
+        epoch-addressable for mid-stage resume — but the composition is NOT
+        bit-identical to single-device host staging: this is standard
+        per-shard data-parallel sharding (each replica owns a fixed 1/n of
+        the data, reshuffled within its shard per epoch), chosen so batch
+        assembly never crosses a shard boundary. A global permutation would
+        force XLA to either all-gather the split or all-to-all every batch.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dev, real, gather = self._sharded_device_arrays(mesh)
+        n_data = mesh.shape["data"]
+        b_local = self._batch_size // n_data
+        steps = num_steps if num_steps is not None else len(self) // self._batch_size
+
+        # per-shard epoch index streams: (steps, b_local) local slots each;
+        # np.resize cycles if a caller asks for more steps than one epoch
+        # holds (the trainer's N // batch never does — round-robin layout
+        # guarantees real[s] >= steps * b_local there)
+        per_shard = [
+            np.resize(
+                np.random.default_rng((self._seed, epoch, s)).permutation(real[s]),
+                max(steps * b_local, 1),
+            ).reshape(steps, b_local)
+            for s in range(n_data)
+        ]
+        idx_all = np.stack(per_shard, axis=1).astype(np.int32)  # (steps, n_data, b_local)
+        idx_sharding = NamedSharding(mesh, P(None, "data"))
+
+        for start in range(0, steps, chunk):
+            idx = jax.device_put(
+                idx_all[start : start + chunk], idx_sharding
+            )
+            batch = gather(dev, idx)  # leaves (k, b, ...), b sharded on 'data'
+            xs = batch["observations"]
+            targets = {
+                "classification_output": batch["class_label"],
+                "segmentation_output": batch["part_labels"],
+                "se3": batch["se3"],
+            }
+            yield xs, targets
 
     def _chunk_iter(self, chunk, num_steps, epoch):
         import jax.numpy as jnp

@@ -518,11 +518,22 @@ class TrainProfile:
                 t0 = time.perf_counter()
                 batch_logs = []
                 chunk_iter = None
-                if multi_step is not None and batch_device is None:
+                if multi_step is not None:
                     maker = getattr(train_loader, "chunks", None)
-                    if maker is not None:
+                    if maker is not None and batch_device is None:
                         chunk_iter = maker(
                             chunk, num_steps=steps_per_epoch, epoch=epoch
+                        )
+                    elif maker is not None and mesh is not None:
+                        # multi-device resident fast path: the split lives
+                        # sharded over the mesh and chunks assemble via
+                        # shard-LOCAL gathers (per-shard DP composition —
+                        # see DeviceLoader._sharded_chunk_iter); None when
+                        # unsupported (points axis, uneven batch) -> host
+                        # staging below
+                        chunk_iter = maker(
+                            chunk, num_steps=steps_per_epoch, epoch=epoch,
+                            mesh=mesh,
                         )
                 if chunk_iter is not None:
                     # device-resident fast path: stacked chunks feed the
@@ -572,11 +583,16 @@ class TrainProfile:
 
                 val_logs = []
                 val_chunk_iter = None
-                if eval_multi is not None and batch_device is None:
+                if eval_multi is not None:
                     maker = getattr(val_loader, "chunks", None)
-                    if maker is not None:
+                    if maker is not None and batch_device is None:
                         val_chunk_iter = maker(
                             chunk, num_steps=validation_steps, epoch=epoch
+                        )
+                    elif maker is not None and mesh is not None:
+                        val_chunk_iter = maker(
+                            chunk, num_steps=validation_steps, epoch=epoch,
+                            mesh=mesh,
                         )
                 if val_chunk_iter is not None:
                     # device-resident fast path, mirroring the train loop:

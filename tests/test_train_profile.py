@@ -233,6 +233,49 @@ def test_shardmap_parallel_mode_training(tmp_path):
     assert np.isfinite(h["val_loss"]).all()
 
 
+@pytest.mark.parametrize("mode", ["gspmd", "shard_map"])
+def test_sharded_resident_training(tmp_path, monkeypatch, mode):
+    """Multi-device training with the SHARDED device-resident loader: the
+    split uploads once sharded over the 8-device data mesh, chunks assemble
+    by shard-local gathers, and both parallel modes train to a sane history
+    (per-shard DP composition — no host staging after the upload)."""
+    import functools
+
+    import jax
+
+    from pointcloudprocessing_tpu.data import loader as loader_mod
+    from pointcloudprocessing_tpu.data import pointcloudset as pcs_mod
+    from pointcloudprocessing_tpu.data.loader import DeviceLoader
+    from pointcloudprocessing_tpu.train.profile import TrainProfile
+
+    assert len(jax.devices()) == 8
+    config_path = make_config(
+        tmp_path, epochs=2, stages=("classification_pretrain",)
+    )
+    monkeypatch.setattr(
+        pcs_mod, "DeviceLoader",
+        functools.partial(DeviceLoader, device_resident=True),
+    )
+    sharded_calls = {"n": 0}
+    orig = DeviceLoader._sharded_chunk_iter
+
+    def counting(self, *a, **k):
+        sharded_calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(loader_mod.DeviceLoader, "_sharded_chunk_iter", counting)
+
+    tp = TrainProfile(config_path, log_to_file=False)
+    tp.parallel_mode = mode
+    tp.steps_per_dispatch = 2
+    histories = tp.train()
+    h = histories["classification_pretrain"]
+    assert sharded_calls["n"] > 0, "sharded resident path never engaged"
+    assert len(h["loss"]) == 2
+    assert np.isfinite(h["loss"]).all()
+    assert np.isfinite(h["val_loss"]).all()
+
+
 def test_resident_loader_training_matches_host_staging(tmp_path, monkeypatch):
     """The device-resident chunks fast path must train IDENTICALLY to host
     staging: same seeded batch order drives both, so stage histories agree
