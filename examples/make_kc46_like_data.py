@@ -54,7 +54,14 @@ def make_collects(
     dense_points: int = 20000,
     seed: int = 42,
     config_path: str | None = None,
+    mesh_factory=kc46_like_mesh,
+    class_name: str = "kc-46",
 ) -> list[str]:
+    """Synthesize the collect directories a flagship config names.
+
+    Parametrized by mesh factory + class name so the f15 twin
+    (make_f15_like_data.py) shares the whole pipeline; defaults reproduce
+    the kc46 workload."""
     if config_path is None:
         config_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -62,7 +69,7 @@ def make_collects(
             "kc46_lidar_config.json",
         )
     names = collect_names(config_path)
-    mesh, triangle_parts = kc46_like_mesh()
+    mesh, triangle_parts = mesh_factory()
     out = []
     for c, name in enumerate(names):
         t0 = time.time()
@@ -71,7 +78,7 @@ def make_collects(
         while done < frames_per_collect:
             n = min(CHUNK, frames_per_collect - done)
             sampler = MeshSampler(
-                None, "kc-46", mesh=mesh, random_seed=seed + 1000 * c + done
+                None, class_name, mesh=mesh, random_seed=seed + 1000 * c + done
             )
             obs, parts, pos, dcms = sampler.create_labeled_viewpoint_observations(
                 n=n, p=dense_points, pad=pad, triangle_parts=triangle_parts
@@ -84,7 +91,7 @@ def make_collects(
         collect = write_collect(
             os.path.join(input_dir, name),
             np.concatenate(obs_chunks),
-            "kc-46",
+            class_name,
             np.concatenate(part_chunks),
             dcms=np.concatenate(dcm_chunks),
             positions=np.concatenate(pos_chunks),

@@ -194,6 +194,49 @@ def kc46_like_mesh() -> tuple[Mesh, np.ndarray]:
     )
 
 
+def f15_like_mesh() -> tuple[Mesh, np.ndarray]:
+    """F-15-like twin-engine fighter with labeled parts.
+
+    Procedural stand-in for the reference's "f15_scale" AftrBurner asset
+    (its five f15 collects are not redistributable —
+    f15_lidar_config.json:44-60 names them). Uses exactly the five part
+    labels the reference's own f-15 template cloud carries
+    (examples/reference_point_clouds/f-15_model.txt: fuselage, wing,
+    engine, vstab, hstab) from the real 12-part vocabulary
+    (f15_lidar_config.json:30-43). Proportions follow an F-15 (19.4 m
+    length, 13 m span, twin engines, TWIN vertical stabilizers) at the
+    template cloud's ~1/8.5 model scale, so the overall extent (~2.3 m)
+    matches the reference model and default MeshSampler viewpoint
+    distances (5-10) frame it comparably.
+    """
+    s = 1.0 / 8.5
+    fuselage = _tube_mesh(19.4 * s, 1.05 * s, sides=12)
+    fuselage.translate(np.array([1.0 * s, 0.0, 0.0]))
+    wing = box_mesh((5.2 * s, 13.0 * s, 0.22 * s))
+    wing.translate(np.array([-1.0 * s, 0.0, 0.35 * s]))
+    eng_l = _tube_mesh(6.0 * s, 0.62 * s, sides=10)
+    eng_l.translate(np.array([-6.2 * s, -0.75 * s, -0.25 * s]))
+    eng_r = _tube_mesh(6.0 * s, 0.62 * s, sides=10)
+    eng_r.translate(np.array([-6.2 * s, 0.75 * s, -0.25 * s]))
+    hstab = box_mesh((2.9 * s, 8.6 * s, 0.18 * s))
+    hstab.translate(np.array([-8.3 * s, 0.0, 0.1 * s]))
+    vstab_l = box_mesh((3.2 * s, 0.3 * s, 3.1 * s))
+    vstab_l.translate(np.array([-7.6 * s, -2.1 * s, 1.9 * s]))
+    vstab_r = box_mesh((3.2 * s, 0.3 * s, 3.1 * s))
+    vstab_r.translate(np.array([-7.6 * s, 2.1 * s, 1.9 * s]))
+    return labeled_compound(
+        [
+            ("fuselage", fuselage),
+            ("wing", wing),
+            ("engine", eng_l),
+            ("engine", eng_r),
+            ("hstab", hstab),
+            ("vstab", vstab_l),
+            ("vstab", vstab_r),
+        ]
+    )
+
+
 def shape_library(n: int) -> dict[str, Mesh]:
     """``n`` geometrically distinct meshes keyed by a stable name.
 
