@@ -302,7 +302,8 @@ def bench_train_step(
 
 
 def bench_train_multi_step(
-    batch: int = 32, width: int = 1024, chunk: int = 32, rounds: int = 8, dtype=None
+    batch: int = 32, width: int = 1024, chunk: int = 32, rounds: int = 8, dtype=None,
+    unroll: int = 1,
 ) -> float:
     """Training with ``chunk`` scanned steps per dispatch (the production
     loop's steps_per_dispatch) — amortizes the per-call host/tunnel overhead
@@ -318,7 +319,8 @@ def bench_train_multi_step(
         batch_size=1,
     )
     multi = steps_lib.make_train_multi_step(
-        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.01, 0.01, 0.01)
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.01, 0.01, 0.01),
+        unroll=unroll,
     )
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.normal(size=(chunk, batch, width, 3)).astype(np.float32))
@@ -451,6 +453,8 @@ def main() -> None:
          lambda: bench_train_multi_step(dtype=jnp.bfloat16)),
         ("train_scan64_bf16_clouds_per_s_b32",
          lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16)),
+        ("train_scan64u4_bf16_clouds_per_s_b32",
+         lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16, unroll=4)),
         ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
     ]:
         try:

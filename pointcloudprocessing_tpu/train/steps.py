@@ -233,6 +233,7 @@ def make_train_multi_step(
     loss_weights: tuple[float, float, float],
     freeze: FreezeFlags,
     jitter_stdev: tuple[float, float, float],
+    unroll: int = 1,
 ) -> Callable:
     """K train steps per dispatch: (state, xs (K,b,n,3), targets (K,...), rng)
     -> (state, logs with leading K).
@@ -244,6 +245,13 @@ def make_train_multi_step(
     the remote tunnel, which at ~3-5 ms/step is the dominant single cost —
     scanning 8 steps per call lifts b32 bf16 training from ~8.6k to ~14k
     clouds/s on v5e.
+
+    ``unroll`` is passed to ``lax.scan`` (same numerics, different codegen):
+    unroll=4 shaves ~4% off the b32/1024pt while-loop wall (1.471 ->
+    1.415 ms/step measured) at ~25% extra compile time; unroll=8 is
+    compile-prohibitive (>10 min remote Mosaic compile). Default 1 — the
+    flagship loop is data-feed-bound and epoch compiles already run minutes
+    (docs/PERF.md "scan unroll").
     """
     inner = partial(
         _train_step_impl, model, optimizer, loss_weights, freeze, jitter_stdev
@@ -255,7 +263,7 @@ def make_train_multi_step(
             new_state, logs = inner(carry, x_k, t_k, rng)
             return new_state, logs
 
-        return jax.lax.scan(body, state, (xs, targets))
+        return jax.lax.scan(body, state, (xs, targets), unroll=unroll)
 
     return jax.jit(multi, donate_argnums=(0,))
 
