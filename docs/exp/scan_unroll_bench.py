@@ -10,15 +10,17 @@ iteration k's tail, and removes per-iteration loop overhead.
 
 Run:  python docs/exp/scan_unroll_bench.py [chunk] [batch]
 """
+import os
 import sys
 import time
-from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 3)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
 
 from pointcloudprocessing_tpu.core.config import LearningConfig
 from pointcloudprocessing_tpu.models.pointnet import FreezeFlags, PointNet
@@ -38,20 +40,12 @@ def build(chunk, batch, width, unroll):
         model, jax.random.key(0), width, LearningConfig(rate=1e-4), freeze,
         batch_size=1,
     )
-    inner = partial(
-        steps_lib._train_step_impl, model, optimizer, (1.0, 1.0, 0.1),
-        freeze, (0.01, 0.01, 0.01),
+    # the PRODUCTION multi-step builder — this bench measures the exact
+    # program the trainer dispatches, not a re-implementation
+    fn = steps_lib.make_train_multi_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.01, 0.01, 0.01),
+        unroll=unroll,
     )
-
-    def multi(state, xs, targets, rng):
-        def body(carry, inp):
-            x_k, t_k = inp
-            new_state, logs = inner(carry, x_k, t_k, rng)
-            return new_state, logs
-
-        return jax.lax.scan(body, state, (xs, targets), unroll=unroll)
-
-    fn = jax.jit(multi, donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.normal(size=(chunk, batch, width, 3)).astype(np.float32))

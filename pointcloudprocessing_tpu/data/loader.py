@@ -75,7 +75,8 @@ class DeviceLoader:
             )
         self._resident = bool(device_resident)
         self._dev_arrays = None
-        self._shard_cache: tuple | None = None  # (mesh, dev_arrays, real_counts)
+        # (mesh, dev_arrays, real_counts, jitted_local_gather)
+        self._shard_cache: tuple | None = None
 
     def __len__(self) -> int:
         return len(self._arrays["class_label"])
@@ -148,15 +149,9 @@ class DeviceLoader:
     def _device_arrays(self):
         if self._dev_arrays is None:
             arrays = dict(self._arrays)
-            seg = arrays.get("part_labels")
-            if (
-                seg is not None
-                and seg.dtype in (np.int32, np.int64)
-                and seg.size
-                and 0 <= seg.min()
-                and seg.max() < 256
-            ):  # same wire shrink as _shrink_for_wire, paid ONCE
-                arrays["part_labels"] = seg.astype(np.uint8)
+            shrunk = _shrunk_u8(arrays.get("part_labels"))
+            if shrunk is not None:  # wire shrink paid ONCE (see _shrunk_u8)
+                arrays["part_labels"] = shrunk
             self._dev_arrays = jax.device_put(arrays)
         return self._dev_arrays
 
@@ -174,9 +169,11 @@ class DeviceLoader:
         sharded over the mesh's data axis and every chunk assembles via
         shard-LOCAL gathers (shard_map) — no cross-device traffic and no
         per-epoch re-upload (see :meth:`_sharded_chunk_iter` for the batch
-        composition semantics). Requires a seeded loader, an epoch index at
-        iteration time, batch_size divisible by the data-axis size, and a
-        mesh without an active points axis; returns None otherwise."""
+        composition semantics). Requires a seeded SHUFFLING loader
+        (shuffle=True), an epoch index at iteration time, batch_size
+        divisible by the data-axis size, at least one full batch of records,
+        and a mesh without an active points axis; returns None otherwise
+        (callers fall back to host staging)."""
         if not (self._resident and len(self)):
             return None
         if mesh is None:
@@ -221,15 +218,9 @@ class DeviceLoader:
             layout[s * m : s * m + len(rows)] = rows
             layout[s * m + len(rows) : (s + 1) * m] = rows[0] if len(rows) else 0
         arrays = dict(self._arrays)
-        seg = arrays.get("part_labels")
-        if (
-            seg is not None
-            and seg.dtype in (np.int32, np.int64)
-            and seg.size
-            and 0 <= seg.min()
-            and seg.max() < 256
-        ):  # same wire shrink as _device_arrays, paid ONCE
-            arrays["part_labels"] = seg.astype(np.uint8)
+        shrunk = _shrunk_u8(arrays.get("part_labels"))
+        if shrunk is not None:  # wire shrink paid ONCE (see _shrunk_u8)
+            arrays["part_labels"] = shrunk
         sharding = NamedSharding(mesh, P("data"))
         dev = {k: jax.device_put(a[layout], sharding) for k, a in arrays.items()}
 
@@ -347,17 +338,18 @@ class _ProducerFailure:
         self.exc = exc
 
 
-def _shrink_for_wire(batch):
-    """Downcast the part-label plane before the host->device transfer:
-    part ids are tiny (12 classes in the flagship configs), so staging
-    them as uint8 cuts the per-cloud wire bytes ~18% at 8192 pts. This
-    matters on remote-attached devices — the axon tunnel moves ~25 MB/s
-    and the flagship training loop is UPLOAD-bound (docs/PERF.md round 3)
-    — and costs nothing on local PCIe. Numerics are unchanged: the loss
-    casts labels to int32 on device (train/losses.py) and metric compares
-    promote integer dtypes."""
-    x, targets = batch
-    seg = targets.get("segmentation_output") if isinstance(targets, dict) else None
+def _shrunk_u8(seg):
+    """uint8 view of an integer part-label plane when the vocab fits, else
+    None. The single source of truth for the wire-shrink predicate — used by
+    per-batch staging (_shrink_for_wire) and both resident uploads
+    (_device_arrays, _sharded_device_arrays), so all paths stage the same
+    dtype. Part ids are tiny (12 classes in the flagship configs), so uint8
+    cuts the per-cloud wire bytes ~18% at 8192 pts. This matters on
+    remote-attached devices — the axon tunnel moves ~25 MB/s and the
+    flagship training loop is UPLOAD-bound (docs/PERF.md round 3) — and
+    costs nothing on local PCIe. Numerics are unchanged: the loss casts
+    labels to int32 on device (train/losses.py) and metric compares promote
+    integer dtypes."""
     if (
         seg is not None
         and seg.dtype in (np.int32, np.int64)
@@ -365,8 +357,18 @@ def _shrink_for_wire(batch):
         and 0 <= seg.min()
         and seg.max() < 256
     ):
-        targets = dict(targets, segmentation_output=seg.astype(np.uint8))
-        return x, targets
+        return seg.astype(np.uint8)
+    return None
+
+
+def _shrink_for_wire(batch):
+    """Apply the part-label wire shrink (see _shrunk_u8) to one host batch
+    before its host->device transfer."""
+    x, targets = batch
+    seg = targets.get("segmentation_output") if isinstance(targets, dict) else None
+    shrunk = _shrunk_u8(seg)
+    if shrunk is not None:
+        return x, dict(targets, segmentation_output=shrunk)
     return batch
 
 

@@ -67,6 +67,27 @@ HISTORY_KEYS = [
 ]
 
 
+def _resident_chunk_iter(loader, chunk, num_steps, epoch, batch_device, mesh):
+    """Device-resident stacked-chunk fast path for the scanned steps, or
+    None (callers fall back to host staging via ``loader.batches``). The
+    single selection point for BOTH the train and val loops so they can
+    never silently take different data paths in the same run.
+
+    Single-device residents keep the global seeded permutation (identical
+    batches to host staging); on a mesh the loader switches to per-shard DP
+    composition via shard-local gathers (see
+    ``DeviceLoader._sharded_chunk_iter`` for the semantics and why a global
+    permutation would force cross-device traffic)."""
+    maker = getattr(loader, "chunks", None)
+    if maker is None:
+        return None
+    if batch_device is None:
+        return maker(chunk, num_steps=num_steps, epoch=epoch)
+    if mesh is not None:
+        return maker(chunk, num_steps=num_steps, epoch=epoch, mesh=mesh)
+    return None
+
+
 def _epoch_metrics(batch_logs: list[dict]) -> dict[str, float]:
     """Reduce per-batch logs to Keras-named streaming epoch metrics.
 
@@ -519,21 +540,23 @@ class TrainProfile:
                 batch_logs = []
                 chunk_iter = None
                 if multi_step is not None:
-                    maker = getattr(train_loader, "chunks", None)
-                    if maker is not None and batch_device is None:
-                        chunk_iter = maker(
-                            chunk, num_steps=steps_per_epoch, epoch=epoch
-                        )
-                    elif maker is not None and mesh is not None:
-                        # multi-device resident fast path: the split lives
-                        # sharded over the mesh and chunks assemble via
-                        # shard-LOCAL gathers (per-shard DP composition —
-                        # see DeviceLoader._sharded_chunk_iter); None when
-                        # unsupported (points axis, uneven batch) -> host
-                        # staging below
-                        chunk_iter = maker(
-                            chunk, num_steps=steps_per_epoch, epoch=epoch,
-                            mesh=mesh,
+                    chunk_iter = _resident_chunk_iter(
+                        train_loader, chunk, steps_per_epoch, epoch,
+                        batch_device, mesh,
+                    )
+                    if (
+                        chunk_iter is not None
+                        and mesh is not None
+                        and not getattr(self, "_logged_sharded_resident", False)
+                    ):
+                        self._logged_sharded_resident = True
+                        self._log.info(
+                            "Device-resident sharded mode: the split is "
+                            "uploaded once sharded over the data axis and "
+                            "each batch composes per-shard (every shard "
+                            "contributes batch/n_data rows from its own "
+                            "per-epoch shuffle) — standard DP composition, "
+                            "not the single-device global permutation."
                         )
                 if chunk_iter is not None:
                     # device-resident fast path: stacked chunks feed the
@@ -584,16 +607,10 @@ class TrainProfile:
                 val_logs = []
                 val_chunk_iter = None
                 if eval_multi is not None:
-                    maker = getattr(val_loader, "chunks", None)
-                    if maker is not None and batch_device is None:
-                        val_chunk_iter = maker(
-                            chunk, num_steps=validation_steps, epoch=epoch
-                        )
-                    elif maker is not None and mesh is not None:
-                        val_chunk_iter = maker(
-                            chunk, num_steps=validation_steps, epoch=epoch,
-                            mesh=mesh,
-                        )
+                    val_chunk_iter = _resident_chunk_iter(
+                        val_loader, chunk, validation_steps, epoch,
+                        batch_device, mesh,
+                    )
                 if val_chunk_iter is not None:
                     # device-resident fast path, mirroring the train loop:
                     # K eval batches per dispatch via the scanned eval step.

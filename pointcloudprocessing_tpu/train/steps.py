@@ -320,6 +320,28 @@ def make_shardmap_train_multi_step(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def _eval_step_impl(
+    model, loss_weights, jitter_stdev, apply_jitter, state, x, targets, rng
+):
+    """Shared eval-step body for make_eval_step / make_eval_multi_step —
+    one source of truth so the 'K scanned batches == K sequential calls'
+    contract can't drift (mirrors _train_step_impl on the train side)."""
+    if apply_jitter:
+        x = jitter(x, rng, jitter_stdev)
+    outputs, updates = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x,
+        train=False,
+        mutable=["reg_losses"],
+    )
+    reg_sum = sum(
+        jnp.sum(v)
+        for v in jax.tree_util.tree_leaves(updates.get("reg_losses", {}))
+    )
+    total, head_losses = multi_head_loss(outputs, targets, loss_weights, reg_sum)
+    return {"loss": total, **head_losses, **_metric_sums(outputs, targets)}
+
+
 def make_eval_step(
     model: PointNet,
     loss_weights: tuple[float, float, float],
@@ -337,24 +359,9 @@ def make_eval_step(
     - T-Net orthogonality regularizers are included in the total, matching
       Keras adding model.losses in test_step as well.
     """
-
-    def step(state: TrainState, x, targets, rng):
-        if apply_jitter:
-            x = jitter(x, rng, jitter_stdev)
-        outputs, updates = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            x,
-            train=False,
-            mutable=["reg_losses"],
-        )
-        reg_sum = sum(
-            jnp.sum(v)
-            for v in jax.tree_util.tree_leaves(updates.get("reg_losses", {}))
-        )
-        total, head_losses = multi_head_loss(outputs, targets, loss_weights, reg_sum)
-        return {"loss": total, **head_losses, **_metric_sums(outputs, targets)}
-
-    return jax.jit(step)
+    return jax.jit(
+        partial(_eval_step_impl, model, loss_weights, jitter_stdev, apply_jitter)
+    )
 
 
 def make_eval_multi_step(
@@ -374,21 +381,9 @@ def make_eval_multi_step(
     overhead; at flagship scale the per-batch val loop was ~1.5 s/epoch of
     pure dispatch)."""
 
-    def one(state: TrainState, x, targets, rng):
-        if apply_jitter:
-            x = jitter(x, rng, jitter_stdev)
-        outputs, updates = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            x,
-            train=False,
-            mutable=["reg_losses"],
-        )
-        reg_sum = sum(
-            jnp.sum(v)
-            for v in jax.tree_util.tree_leaves(updates.get("reg_losses", {}))
-        )
-        total, head_losses = multi_head_loss(outputs, targets, loss_weights, reg_sum)
-        return {"loss": total, **head_losses, **_metric_sums(outputs, targets)}
+    one = partial(
+        _eval_step_impl, model, loss_weights, jitter_stdev, apply_jitter
+    )
 
     def multi(state: TrainState, xs, targets, rng, start):
         ks = jnp.arange(xs.shape[0]) + start

@@ -276,36 +276,69 @@ def test_sharded_resident_training(tmp_path, monkeypatch, mode):
     assert np.isfinite(h["val_loss"]).all()
 
 
-def test_resident_loader_training_matches_host_staging(tmp_path, monkeypatch):
-    """The device-resident chunks fast path must train IDENTICALLY to host
-    staging: same seeded batch order drives both, so stage histories agree
-    to float-accumulation noise. (Resident mode is auto-off on the CPU test
-    backend; forced here.)"""
+def _run_resident_profile(tmp_path, monkeypatch, root_name, resident,
+                          single_device=False):
     import functools
 
     from pointcloudprocessing_tpu.data import pointcloudset as pcs_mod
     from pointcloudprocessing_tpu.data.loader import DeviceLoader
     from pointcloudprocessing_tpu.train.profile import TrainProfile
 
-    def run(root, resident):
-        root.mkdir()
-        config_path = make_config(root, epochs=2, stages=("classification_pretrain",))
-        if resident:
-            monkeypatch.setattr(
-                pcs_mod, "DeviceLoader",
-                functools.partial(DeviceLoader, device_resident=True),
-            )
-        else:
-            monkeypatch.setattr(pcs_mod, "DeviceLoader", DeviceLoader)
-        tp = TrainProfile(config_path, log_to_file=False)
-        tp.steps_per_dispatch = 2  # chunked path + a tail step
-        return tp.train()["classification_pretrain"]
+    root = tmp_path / root_name
+    root.mkdir()
+    config_path = make_config(root, epochs=2, stages=("classification_pretrain",))
+    if resident:
+        monkeypatch.setattr(
+            pcs_mod, "DeviceLoader",
+            functools.partial(DeviceLoader, device_resident=True),
+        )
+    else:
+        monkeypatch.setattr(pcs_mod, "DeviceLoader", DeviceLoader)
+    if single_device:
+        monkeypatch.setattr(
+            TrainProfile, "_parallel_plan", lambda self: (1, False, False)
+        )
+    tp = TrainProfile(config_path, log_to_file=False)
+    tp.steps_per_dispatch = 2  # chunked path + a tail step
+    return tp.train()["classification_pretrain"]
 
-    h_host = run(tmp_path / "host", resident=False)
-    h_res = run(tmp_path / "res", resident=True)
+
+def test_resident_loader_training_matches_host_staging(tmp_path, monkeypatch):
+    """Single-device resident chunks fast path trains IDENTICALLY to host
+    staging: the same global seeded permutation drives both, so stage
+    histories agree to float-accumulation noise. (Resident mode is auto-off
+    on the CPU test backend; forced here. Pinned single-device via
+    _parallel_plan — on a mesh the resident loader deliberately switches to
+    per-shard DP composition, covered by the test below.)"""
+    h_host = _run_resident_profile(
+        tmp_path, monkeypatch, "host", resident=False, single_device=True
+    )
+    h_res = _run_resident_profile(
+        tmp_path, monkeypatch, "res", resident=True, single_device=True
+    )
     assert len(h_res["loss"]) == len(h_host["loss"]) == 2
     for key in ("loss", "val_loss",
                 "classification_output_sparse_categorical_accuracy"):
         np.testing.assert_allclose(
             h_res[key], h_host[key], rtol=1e-6, atol=1e-9, err_msg=key
         )
+
+
+def test_resident_loader_sharded_composition_trains(tmp_path, monkeypatch):
+    """Multi-device resident mode: the loader composes batches PER-SHARD
+    (each shard contributes batch/n_data rows from its own per-epoch
+    shuffle — see DeviceLoader._sharded_chunk_iter), so histories are NOT
+    bit-identical to host staging's global permutation. Pin the contract
+    that holds instead: both runs see every record once per epoch, train to
+    the same neighborhood, and the resident run stays finite and improves.
+    Record-level coverage/addressability is pinned in test_loader_sharded."""
+    h_host = _run_resident_profile(tmp_path, monkeypatch, "host", resident=False)
+    h_res = _run_resident_profile(tmp_path, monkeypatch, "res", resident=True)
+    assert len(h_res["loss"]) == len(h_host["loss"]) == 2
+    assert set(h_res) == set(h_host)
+    for key in h_res:
+        assert np.all(np.isfinite(h_res[key])), key
+    # same data, same model, same optimizer — different batch composition
+    # only: epoch losses land in the same neighborhood
+    np.testing.assert_allclose(h_res["loss"], h_host["loss"], rtol=0.35)
+    assert h_res["loss"][1] < h_res["loss"][0]  # it actually learns
