@@ -102,6 +102,32 @@ def bench_infer_cls_only(batch_size: int = 2048, width: int = 1024) -> float:
                        heads=("classification_output", "se3"))
 
 
+def bench_infer_pointnet2(batch_size: int = 256, width: int = 1024,
+                          steps: int = 60) -> float:
+    """PointNet++ (SSG, canonical 512/128 SA config) multi-head inference —
+    the beyond-reference family (models/pointnet2.py). Pallas FPS + MXU kNN
+    grouping run inside the model program."""
+    from pointcloudprocessing_tpu.models.pointnet2 import pointnet2_for_width
+
+    model = pointnet2_for_width(NUM_CLASSES, NUM_PARTS, width,
+                                dtype=jnp.bfloat16)
+    pts = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch_size, width, 3)).astype(np.float32)
+    )
+    variables = jax.device_put(
+        jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.key(0), pts[:1]
+        )
+    )
+
+    @jax.jit
+    def step(points):
+        return model.apply(variables, points, train=False)
+
+    dt = _pipelined_time(step, pts, steps)
+    return batch_size / dt
+
+
 def bench_latency_p50(width: int = 1024, steps: int = 50) -> float:
     """Single-cloud inference p50 latency (ms). Per-call host sync — includes
     the tunnel round-trip, so this is an upper bound on on-device latency."""
@@ -456,6 +482,7 @@ def main() -> None:
         ("train_scan64u4_bf16_clouds_per_s_b32",
          lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16, unroll=4)),
         ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
+        ("pointnet2_infer_clouds_per_s_b256", bench_infer_pointnet2),
     ]:
         try:
             log(f"[*] {name}: {fn():.4g}")

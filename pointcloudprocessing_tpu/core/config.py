@@ -16,7 +16,8 @@ field extraction in ``pointnet_train.py:83-114``):
     params{input_width, epochs, patience, batch_size,
            learning{rate, decay_steps, decay_rate},
            random_seed, debugging, vanilla,
-           regularize_input_transform, regularize_feature_transform}
+           regularize_input_transform, regularize_feature_transform,
+           [compute_dtype], [model]}          # extensions; absent = reference behavior
     file_system{model_path, input_path, data_path}
 
 Here it is parsed into frozen dataclasses so that the rest of the framework
@@ -103,6 +104,11 @@ class TrainConfig:
     # behavior): "bfloat16" runs the trunk in MXU-native precision — ~1.7x
     # train-step throughput on v5e; heads and softmaxes stay f32
     compute_dtype: str = ""
+    # extension over the reference schema (absent key = "pointnet" = the
+    # reference architecture): "pointnet2" trains the hierarchical
+    # set-abstraction family (models/pointnet2.py) through the same
+    # curriculum/driver; vanilla/regularize_* flags do not apply to it
+    model: str = "pointnet"
 
     model_path: str = "models/"
     input_path: str = ""
@@ -184,6 +190,7 @@ def parse_config(config: Mapping) -> TrainConfig:
         regularize_input_transform=bool(params.get("regularize_input_transform", False)),
         regularize_feature_transform=bool(params.get("regularize_feature_transform", False)),
         compute_dtype=str(params.get("compute_dtype", "")),
+        model=str(params.get("model", "pointnet")),
         model_path=fs.get("model_path", "models/"),
         input_path=fs.get("input_path", ""),
         data_path=fs.get("data_path", "data/"),

@@ -28,17 +28,12 @@ def main(argv: list[str]) -> int:
 
     from pointcloudprocessing_tpu.core.config import load_config
     from pointcloudprocessing_tpu.export.onnx_bridge import export_onnx
-    from pointcloudprocessing_tpu.models import PointNet
+    from pointcloudprocessing_tpu.models.factory import model_from_config
     from pointcloudprocessing_tpu.train.callbacks import load_checkpoint
 
     cfg = load_config(config_path)
-    model = PointNet(
-        num_classes=cfg.num_classes,
-        num_parts=cfg.num_parts,
-        vanilla=cfg.vanilla,
-        regularize_input_transform=cfg.regularize_input_transform,
-        regularize_feature_transform=cfg.regularize_feature_transform,
-    )
+    # exports are multi-platform artifacts: never bake Pallas custom calls
+    model = model_from_config(cfg, allow_pallas=False)
     payload = load_checkpoint(stage_dir)
     variables = {
         "params": payload["params"],

@@ -51,6 +51,17 @@ def export_onnx(
     interpreter in test_onnx_native.py) produces the artifact instead.
     """
     if not onnx_available():
+        if not isinstance(model, PointNet):
+            # the native writer emits the PointNet inference graph from the
+            # param tree; other families (PointNet2's FPS/kNN gathers have
+            # no hand-written opset-13 lowering) need the real toolchain
+            print_func(
+                f"ONNX export for {type(model).__name__} needs the "
+                "tf2onnx/onnx toolchain (the native opset-13 writer covers "
+                "the PointNet family only); StableHLO remains the portable "
+                "artifact for this model."
+            )
+            return False
         print_func(GATING_MESSAGE)
         from pointcloudprocessing_tpu.export.onnx_native import (
             export_onnx_native,

@@ -7,6 +7,7 @@ from pointcloudprocessing_tpu.models.pointnet import (
     freeze_flags_from_trainable,
     layer_trainability,
 )
+from pointcloudprocessing_tpu.models.pointnet2 import PointNet2
 from pointcloudprocessing_tpu.models.classifier import PointNetClassifier, TNetRegressor
 from pointcloudprocessing_tpu.models.pipeline import PointCloudPipeline
 
@@ -15,6 +16,7 @@ __all__ = [
     "DenseBlock",
     "TNet",
     "PointNet",
+    "PointNet2",
     "FreezeFlags",
     "NOTHING_FROZEN",
     "freeze_flags_from_trainable",

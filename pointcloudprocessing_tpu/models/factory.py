@@ -1,0 +1,74 @@
+"""Model construction from a TrainConfig — the ONE switch on the
+``params.model`` config extension, shared by the training driver
+(train/profile.py), the serving CLI (serve.py), and the export CLI
+(export/cli.py) so the three can never disagree about which family a
+checkpoint belongs to."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pointcloudprocessing_tpu.models.pointnet import PointNet
+
+MODEL_FAMILIES = ("pointnet", "pointnet2")
+
+
+def model_from_config(
+    cfg,
+    *,
+    dtype=None,
+    allow_pallas: bool = True,
+    training: bool = False,
+    dropout_rate: float = 0.3,
+):
+    """Build the configured model family.
+
+    Args:
+      cfg: a ``core.config.TrainConfig``.
+      dtype: compute dtype (None = f32 parity mode).
+      allow_pallas: False when the consumer compiles under multi-device
+        GSPMD jit (custom calls cannot be partitioned) or exports a
+        multi-platform artifact.
+      training: True applies the config's T-Net regularizers (PointNet
+        family only — inference consumers always build without them).
+    """
+    if cfg.model == "pointnet2":
+        from pointcloudprocessing_tpu.models.pointnet2 import pointnet2_for_width
+
+        return pointnet2_for_width(
+            cfg.num_classes,
+            cfg.num_parts,
+            cfg.input_width,
+            dropout_rate=dropout_rate,
+            dtype=dtype,
+            allow_pallas=allow_pallas,
+        )
+    if cfg.model == "pointnet":
+        return PointNet(
+            num_classes=cfg.num_classes,
+            num_parts=cfg.num_parts,
+            dropout_rate=dropout_rate,
+            vanilla=cfg.vanilla,
+            regularize_input_transform=(
+                cfg.regularize_input_transform if training else False
+            ),
+            regularize_feature_transform=(
+                cfg.regularize_feature_transform if training else False
+            ),
+            dtype=dtype,
+            allow_pallas=allow_pallas,
+        )
+    raise ValueError(
+        f"Unknown params.model {cfg.model!r} (expected one of {MODEL_FAMILIES})"
+    )
+
+
+def _compute_dtype(cfg) -> Optional[object]:
+    """cfg.compute_dtype string -> jnp dtype (None = f32)."""
+    import jax.numpy as jnp
+
+    if cfg.compute_dtype in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if cfg.compute_dtype in ("", "float32", "f32"):
+        return None
+    raise ValueError(f"Unknown compute_dtype {cfg.compute_dtype!r}")

@@ -50,6 +50,7 @@ def farthest_point_sample_batch(
     start_index: int = 0,
     method: str = "auto",
     max_distmat_bytes: int = _DEFAULT_DISTMAT_BYTES,
+    allow_pallas: bool = True,
 ) -> jnp.ndarray:
     """FPS over a batch of padded clouds: (b, n, 3) -> (b, num_samples).
 
@@ -62,6 +63,9 @@ def farthest_point_sample_batch(
         'stream' (O(n) memory), or 'auto'.
       max_distmat_bytes: 'auto' picks 'distmat' while b*n*n*4 stays under
         this budget.
+      allow_pallas: False keeps 'auto' off the Pallas kernel — needed when
+        the caller's program compiles under multi-device GSPMD jit, which
+        cannot partition custom calls (same convention as the model flag).
 
     If fewer valid points than num_samples exist, selections repeat the
     farthest remaining valid points.
@@ -74,13 +78,21 @@ def farthest_point_sample_batch(
         # long as a valid cloud block exists (full batch in VMEM or a
         # 128-multiple slice of it — Mosaic lane-blocking rule)
         if (
-            jax.default_backend() in ("tpu", "axon")
+            allow_pallas
+            and jax.default_backend() in ("tpu", "axon")
             and n <= 16384
             and _pallas_block_ok(b, n, num_samples)
         ):
             method = "pallas"
         else:
-            method = "distmat" if b * n * n * 4 <= max_distmat_bytes else "stream"
+            try:
+                fits = bool(b * n * n * 4 <= max_distmat_bytes)
+            except Exception:
+                # symbolic batch dim (jax.export shape polymorphism): the
+                # byte budget is inconclusive — take the O(n)-memory
+                # formulation, which is safe at any deployment batch
+                fits = False
+            method = "distmat" if fits else "stream"
 
     start = _seed_indices(valid_mask, start_index)
     if method == "pallas":

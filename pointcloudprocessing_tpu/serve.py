@@ -115,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     from pointcloudprocessing_tpu.core.config import load_config
-    from pointcloudprocessing_tpu.models import PointNet
+    from pointcloudprocessing_tpu.models.factory import model_from_config
     from pointcloudprocessing_tpu.models.pipeline import PointCloudPipeline
     from pointcloudprocessing_tpu.train.callbacks import load_checkpoint
 
@@ -124,10 +124,7 @@ def main(argv: list[str] | None = None) -> int:
     model_width = args.model_width or cfg.input_width
 
     payload = load_checkpoint(args.model)
-    model = PointNet(
-        num_classes=cfg.num_classes, num_parts=cfg.num_parts, vanilla=cfg.vanilla,
-        regularize_input_transform=False, regularize_feature_transform=False,
-    )
+    model = model_from_config(cfg)
     alias = {"classification": "classification_output",
              "segmentation": "segmentation_output", "se3": "se3"}
     try:

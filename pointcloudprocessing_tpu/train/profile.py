@@ -38,7 +38,6 @@ from pointcloudprocessing_tpu.core.config import TrainConfig, StageConfig, load_
 from pointcloudprocessing_tpu.data.frames import get_dir_contents
 from pointcloudprocessing_tpu.data.pointcloudset import PointCloudSet, load_from_file
 from pointcloudprocessing_tpu.models.pointnet import (
-    PointNet,
     freeze_flags_from_trainable,
     layer_trainability,
 )
@@ -254,29 +253,22 @@ class TrainProfile:
         """Model + TrainState for a stage, loading pretrained weights when
         chaining (pointnet_train.py:276-332)."""
         cfg = self.config
-        import jax.numpy as jnp
+        from pointcloudprocessing_tpu.models.factory import (
+            _compute_dtype,
+            model_from_config,
+        )
 
-        if cfg.compute_dtype in ("bfloat16", "bf16"):
-            compute_dtype = jnp.bfloat16
-        elif cfg.compute_dtype in ("", "float32", "f32"):
-            compute_dtype = None
-        else:
-            raise ValueError(f"Unknown compute_dtype {cfg.compute_dtype!r}")
         _, use_mesh, use_shardmap = self._parallel_plan()
-        model = PointNet(
-            num_classes=cfg.num_classes,
-            num_parts=cfg.num_parts,
-            dropout_rate=0.3,
-            vanilla=cfg.vanilla,
-            regularize_input_transform=cfg.regularize_input_transform,
-            regularize_feature_transform=cfg.regularize_feature_transform,
-            dtype=compute_dtype,
-            # multi-device GSPMD jit cannot partition the Pallas pooled
-            # chains; shard_map (per-shard programs) and single-device
-            # stages keep them. An explicit model flag read at trace time —
-            # not a process-global — so lazy jit tracing cannot capture a
-            # stale mode.
+        # multi-device GSPMD jit cannot partition the Pallas custom calls
+        # (pooled chains / FPS); shard_map (per-shard programs) and
+        # single-device stages keep them. An explicit model flag read at
+        # trace time — not a process-global — so lazy jit tracing cannot
+        # capture a stale mode.
+        model = model_from_config(
+            cfg,
+            dtype=_compute_dtype(cfg),
             allow_pallas=not use_mesh or use_shardmap,
+            training=True,
         )
         freeze = freeze_flags_from_trainable(stage.trainable)
 
@@ -311,9 +303,18 @@ class TrainProfile:
         for stage in cfg.stages:
             model, state, optimizer, freeze = self._build_state(stage)
 
-            self._log.info("PointNet Build")
+            if cfg.model == "pointnet2":
+                from pointcloudprocessing_tpu.models.pointnet2 import (
+                    layer_trainability_pointnet2,
+                )
+
+                self._log.info("PointNet2 Build")
+                report = layer_trainability_pointnet2(freeze)
+            else:
+                self._log.info("PointNet Build")
+                report = layer_trainability(freeze, cfg.vanilla)
             self._log.info("\tTrainable Layers")
-            for layer, trainable in layer_trainability(freeze, cfg.vanilla).items():
+            for layer, trainable in report.items():
                 self._log.info(f"\t\t-> {layer}: {trainable}")
 
             histories[stage.name] = self._train_stage(stage, model, state, optimizer, freeze)
@@ -705,8 +706,16 @@ class TrainProfile:
         try:
             from pointcloudprocessing_tpu.export.stablehlo import export_pointnet
 
+            # multi-platform export (cpu/tpu/cuda) cannot serialize Pallas
+            # custom calls — use the pure-XLA formulation of the same model
+            # (identical params; PointNet's inference path never dispatches
+            # Pallas anyway, PointNet2's FPS does)
+            export_model = (
+                model.clone(allow_pallas=False)
+                if getattr(model, "allow_pallas", False) else model
+            )
             export_pointnet(
-                model,
+                export_model,
                 {"params": state.params, "batch_stats": state.batch_stats},
                 cfg.input_width,
                 f"{stage_dir}{cfg.name}_{stage.name}",

@@ -91,7 +91,10 @@ def init_train_state(
     """Initialize (or re-wrap pretrained variables into) a TrainState."""
     if init_variables is None:
         dummy = jnp.zeros((batch_size, input_width, 3), jnp.float32)
-        variables = model.init(rng, dummy, train=False)
+        # jitted init: eager tracing dispatches every op individually, which
+        # is pathological for models with device loops (PointNet2's FPS runs
+        # num_centroids masked-argmax iterations — ~50 s eager vs ~1 s jit)
+        variables = jax.jit(partial(model.init, train=False))(rng, dummy)
     else:
         variables = init_variables
     params = variables["params"]

@@ -191,10 +191,38 @@ def summarize(trace_dir: str, steps: int, top: int = 40) -> None:
               f"(+{len(rows)-top} more)")
 
 
+def _run_pn2(n_dispatch: int = 10) -> int:
+    from pointcloudprocessing_tpu.models.pointnet2 import pointnet2_for_width
+
+    batch, width = 256, 1024
+    model = pointnet2_for_width(23, 12, width, dtype=jnp.bfloat16)
+    pts = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, width, 3)).astype(np.float32)
+    )
+    variables = jax.device_put(
+        jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.key(0), pts[:1]
+        )
+    )
+
+    @jax.jit
+    def step(points):
+        return model.apply(variables, points, train=False)
+
+    out = step(pts)
+    _ = float(out["classification_output"].ravel()[0])
+    with jax.profiler.trace(_TRACE_DIR):
+        for _ in range(n_dispatch - 1):
+            step(pts)
+        out = step(pts)
+        _ = float(out["classification_output"].ravel()[0])
+    return n_dispatch
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "train"
     _TRACE_DIR = tempfile.mkdtemp(prefix=f"trace_{what}_")
     steps = {"train": _run_train, "preprocess": _run_preprocess,
-             "infer": _run_infer}[what]()
+             "infer": _run_infer, "pn2": _run_pn2}[what]()
     print(f"trace dir: {_TRACE_DIR}")
     summarize(_TRACE_DIR, steps)
