@@ -105,8 +105,9 @@ def bench_infer_cls_only(batch_size: int = 2048, width: int = 1024) -> float:
 def bench_infer_pointnet2(batch_size: int = 256, width: int = 1024,
                           steps: int = 60) -> float:
     """PointNet++ (SSG, canonical 512/128 SA config) multi-head inference —
-    the beyond-reference family (models/pointnet2.py). Pallas FPS + MXU kNN
-    grouping run inside the model program."""
+    the beyond-reference family (models/pointnet2.py). Pallas FPS, MXU
+    one-hot-matmul gathers, and PartialReduce kNN run inside the model
+    program (docs/PERF.md "PointNet++ hotspots")."""
     from pointcloudprocessing_tpu.models.pointnet2 import pointnet2_for_width
 
     model = pointnet2_for_width(NUM_CLASSES, NUM_PARTS, width,

@@ -7,9 +7,9 @@ primitives instead of the usual CUDA ball-query/grouping kernels:
 
 - **FPS centroids** via `ops.fps.farthest_point_sample_batch` — the Pallas
   VMEM kernel on TPU, distmat/stream XLA fallbacks elsewhere.
-- **Ball query as radius-masked kNN**: `ops.knn.knn_batch` computes the
-  k nearest neighbors with an MXU distance matmul (`lax.approx_min_k` on
-  TPU — ~10x `top_k` at flagship widths); neighbors outside the query
+- **Ball query as radius-masked kNN**: an MXU distance matmul +
+  `lax.approx_min_k` (recall 0.85 — the setting where XLA's PartialReduce
+  fires instead of a full-sort fallback); neighbors outside the query
   radius are replaced by the nearest neighbor, reproducing the classic
   ball-query "duplicate the first in-ball point" padding with FIXED shapes
   (no data-dependent group sizes — XLA-friendly by construction).
@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -39,7 +40,7 @@ from pointcloudprocessing_tpu.core.constants import KERAS_BN_MOMENTUM
 from pointcloudprocessing_tpu.models.layers import DenseBlock, PointwiseBlock
 from pointcloudprocessing_tpu.models.pointnet import NOTHING_FROZEN, FreezeFlags
 from pointcloudprocessing_tpu.ops.fps import farthest_point_sample_batch
-from pointcloudprocessing_tpu.ops.knn import knn_batch
+from pointcloudprocessing_tpu.ops.gather import gather_rows
 from pointcloudprocessing_tpu.ops.normalize import normalize_unit_sphere
 
 
@@ -84,16 +85,34 @@ def layer_trainability_pointnet2(freeze: FreezeFlags) -> dict[str, bool]:
     return report
 
 
-def _gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """x (b, n, c), idx (b, m) -> (b, m, c)."""
-    return jnp.take_along_axis(x, idx[..., None], axis=1)
+# Row gathers route through ops.gather: on TPU they become one-hot MXU
+# matmuls — the XLA native gather is per-index latency-bound and was 47% of
+# the whole PN++ step (docs/PERF.md "PointNet++ hotspots").
+_gather_rows = gather_rows
+_gather_groups = gather_rows
 
 
-def _gather_groups(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """x (b, n, c), idx (b, m, k) -> (b, m, k, c)."""
-    b, m, k = idx.shape
-    flat = jnp.take_along_axis(x, idx.reshape(b, m * k)[..., None], axis=1)
-    return flat.reshape(b, m, k, x.shape[-1])
+def _grouping_knn(queries: jnp.ndarray, points: jnp.ndarray, k: int,
+                  exact: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched kNN for grouping: (b, m, 3) over (b, n, 3) -> idx/sq_d
+    (b, m, k). Approximate mode pins recall_target=0.85: at the default
+    0.95 XLA rejects the PartialReduce and lowers approx_min_k to a FULL
+    row sort (31.6 ms at the b256 SA1 shape); 0.85 fires the TPU partial
+    reduction at 5.9 ms (docs/exp/pn2_hotspot_bench.py). For radius-masked
+    ball-query grouping feeding a max-pool, missing ~15% of the exact
+    nearest set is immaterial — any in-radius support set works."""
+    q2 = jnp.sum(queries * queries, -1, keepdims=True)
+    p2 = jnp.sum(points * points, -1)
+    # HIGHEST: see ops/knn.py::pairwise_sq_dists
+    cross = jnp.einsum(
+        "bmc,bnc->bmn", queries, points, precision=jax.lax.Precision.HIGHEST
+    )
+    d = jnp.maximum(q2 + p2[:, None, :] - 2.0 * cross, 0.0)
+    if exact:
+        neg, idx = jax.lax.top_k(-d, k)
+        return idx.astype(jnp.int32), -neg
+    vals, idx = jax.lax.approx_min_k(d, k, recall_target=0.85)
+    return idx.astype(jnp.int32), vals
 
 
 def sample_and_group(
@@ -127,7 +146,7 @@ def sample_and_group(
         xyz, num_centroids, allow_pallas=allow_pallas
     )
     new_xyz = _gather_rows(xyz, centroid_idx)
-    nbr_idx, sq_d = knn_batch(new_xyz, xyz, k, exact=exact_knn)
+    nbr_idx, sq_d = _grouping_knn(new_xyz, xyz, k, exact=exact_knn)
     # radius mask with fixed shapes: out-of-ball slots re-read neighbor 0
     within = sq_d <= (radius * radius)
     nbr_idx = jnp.where(within, nbr_idx, nbr_idx[..., :1])
@@ -141,6 +160,32 @@ def sample_and_group(
     return new_xyz, grouped
 
 
+def _three_nearest(fine_xyz: jnp.ndarray, coarse_xyz: jnp.ndarray):
+    """Exact 3-NN via three masked argmin passes — identical indices to
+    ``lax.top_k`` but ~1.7x faster on TPU, where a k=3 top_k lowers to a
+    FULL row sort of the (b, n, m) distance matrix (measured 32 -> 19 ms at
+    the b256 PN++ shape, docs/exp/pn2_hotspot_bench.py)."""
+    q2 = jnp.sum(fine_xyz * fine_xyz, -1, keepdims=True)
+    p2 = jnp.sum(coarse_xyz * coarse_xyz, -1)
+    # HIGHEST: the |p|^2 expansion cancels under the TPU default
+    # single-bf16-pass matmul (see ops/knn.py::pairwise_sq_dists)
+    cross = jnp.einsum(
+        "bnc,bmc->bnm", fine_xyz, coarse_xyz,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = jnp.maximum(q2 + p2[:, None, :] - 2.0 * cross, 0.0)
+    idxs, vals = [], []
+    for _ in range(3):
+        i = jnp.argmin(d, axis=-1)
+        # min() is a reduce (~0.7 ms at the b256 shape); gathering d[i] by
+        # index is a per-row latency-bound gather (~3.7 ms — the same
+        # pathology ops/gather.py exists for)
+        vals.append(jnp.min(d, axis=-1))
+        idxs.append(i)
+        d = jnp.where(jax.nn.one_hot(i, d.shape[-1], dtype=bool), jnp.inf, d)
+    return jnp.stack(idxs, -1).astype(jnp.int32), jnp.stack(vals, -1)
+
+
 def interpolate_features(
     fine_xyz: jnp.ndarray,
     coarse_xyz: jnp.ndarray,
@@ -148,8 +193,8 @@ def interpolate_features(
     eps: float = 1e-8,
 ) -> jnp.ndarray:
     """Inverse-distance 3-NN feature propagation (fine (b, n, 3), coarse
-    (b, m, 3)/(b, m, c) -> (b, n, c)). Exact top-k: k=3 over small m."""
-    idx, sq_d = knn_batch(fine_xyz, coarse_xyz, 3, exact=True)
+    (b, m, 3)/(b, m, c) -> (b, n, c))."""
+    idx, sq_d = _three_nearest(fine_xyz, coarse_xyz)
     w = 1.0 / (sq_d + eps)  # (b, n, 3)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     nbr = _gather_groups(coarse_feats, idx)  # (b, n, 3, c)
