@@ -515,6 +515,21 @@ class PointCloudSet:
         return sum(os.path.getsize(p) for p in self._split_files(split))
 
     def _make_loader(self, split: str, streaming: bool | None):
+        if self.split_count(split) > 0 and not self._split_files(split):
+            # the census says records exist but the TFRecords are not where
+            # _set_dir points. Classic cause: the set pickles a RELATIVE
+            # data path (reference parity, PointCloudSet.py:111-114) and was
+            # reloaded from a different working directory — without this
+            # guard the trainer would silently run zero-batch epochs with
+            # loss 0.0.
+            raise FileNotFoundError(
+                f"PointCloudSet split '{split}' has "
+                f"{self.split_count(split)} records in its census but no "
+                f"{split}_*.tfrecord files under '{self._set_dir}' "
+                f"(cwd: {os.getcwd()}). The set stores a relative data "
+                "path — run from the directory it was built in, or "
+                "rebuild with an absolute data_path."
+            )
         if streaming is None:
             streaming = self._split_bytes(split) > getattr(
                 self, "max_in_memory_bytes", PointCloudSet.max_in_memory_bytes

@@ -603,6 +603,15 @@ class TrainProfile:
                     # execution finishes (CLAUDE.md), truncating the trace
                     jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
                     jax.profiler.stop_trace()
+                if not batch_logs:
+                    # zero batches means the loader found nothing — surface
+                    # it instead of logging loss 0.0 epochs (stale data
+                    # paths, empty splits)
+                    raise RuntimeError(
+                        f"Stage '{stage.name}' epoch {epoch + 1} produced "
+                        "zero training batches — the train loader is empty "
+                        "(check data_path / split contents)."
+                    )
                 train_metrics = _epoch_metrics(jax.device_get(batch_logs))
 
                 val_logs = []

@@ -142,3 +142,15 @@ def test_unseeded_ingest(tmp_path):
     )
     assert pc.add_from_aftr_output(collect)
     assert "Total count" in pc.get_info() or "count" in pc.get_info().lower()
+
+
+def test_missing_tfrecords_raise_not_silent(pc_set, tmp_path):
+    """A set whose census says records exist but whose TFRecords are not at
+    _set_dir (classic cause: relative data path + different cwd) must raise
+    at loader construction — round 3 caught a run silently training
+    zero-batch epochs with loss 0.0 in exactly this state."""
+    import shutil
+
+    shutil.rmtree(pc_set._set_dir)
+    with pytest.raises(FileNotFoundError, match="census but no"):
+        pc_set.get_train_set()
