@@ -336,6 +336,38 @@ def check_shardmap_training() -> None:
     check("shard_map-vs-plain bf16 train-step loss drift", drift, 1e-5, "abs")
 
 
+def check_onehot_gather() -> None:
+    """ops/gather one-hot MXU matmul selection vs the native gather ON
+    HARDWARE: bf16 sources must match bit-exactly (one nonzero product per
+    output element — any MXU accumulation surprise would show here), f32
+    hi/lo within its 2^-17 design bound. Guards the PointNet++ grouping
+    path the same way the pooled-chain check guards training."""
+    from pointcloudprocessing_tpu.ops.gather import gather_rows_matmul
+
+    rng = np.random.default_rng(7)
+    x32 = jnp.asarray(rng.normal(size=(4, 512, 64)).astype(np.float32) * 21.0)
+    idx = jnp.asarray(rng.integers(0, 512, (4, 128, 16)).astype(np.int32))
+    want32 = jnp.take_along_axis(
+        x32, idx.reshape(4, -1)[..., None], axis=1
+    ).reshape(4, 128, 16, 64)
+
+    got32 = jax.jit(gather_rows_matmul)(x32, idx)
+    rel32 = float(
+        jnp.max(jnp.abs(got32 - want32)) / jnp.max(jnp.abs(want32))
+    )
+    check("one-hot gather f32 hi/lo rel err", rel32, 2.0 ** -15, "rel")
+
+    x16 = x32.astype(jnp.bfloat16)
+    want16 = jnp.take_along_axis(
+        x16, idx.reshape(4, -1)[..., None], axis=1
+    ).reshape(4, 128, 16, 64)
+    got16 = jax.jit(gather_rows_matmul)(x16, idx)
+    exact = float(
+        jnp.max(jnp.abs(got16.astype(jnp.float32) - want16.astype(jnp.float32)))
+    )
+    check("one-hot gather bf16 exactness", exact, 0.0, "abs")
+
+
 def main() -> int:
     print(f"backend: {jax.default_backend()}; devices: {jax.devices()}",
           flush=True)
@@ -345,6 +377,7 @@ def main() -> int:
         check_rigid_alignment,
         check_fps_selection,
         check_inference_precision_drift,
+        check_onehot_gather,
         check_shardmap_pipeline,
         check_pooled_chain_training,
         check_shardmap_training,
