@@ -129,6 +129,33 @@ def bench_infer_pointnet2(batch_size: int = 256, width: int = 1024,
     return batch_size / dt
 
 
+def bench_infer_dgcnn(batch_size: int = 64, width: int = 1024,
+                      steps: int = 40) -> float:
+    """DGCNN (canonical k=20 EdgeConv) multi-head inference — the third
+    model family (models/dgcnn.py). Per-layer dynamic kNN runs as an MXU
+    distance matmul + PartialReduce approx_min_k; neighbor gathers are
+    one-hot MXU matmuls (the PN++ hotspot fixes apply verbatim)."""
+    from pointcloudprocessing_tpu.models.dgcnn import dgcnn_for_width
+
+    model = dgcnn_for_width(NUM_CLASSES, NUM_PARTS, width,
+                            dtype=jnp.bfloat16)
+    pts = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch_size, width, 3)).astype(np.float32)
+    )
+    variables = jax.device_put(
+        jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.key(0), pts[:1]
+        )
+    )
+
+    @jax.jit
+    def step(points):
+        return model.apply(variables, points, train=False)
+
+    dt = _pipelined_time(step, pts, steps)
+    return batch_size / dt
+
+
 def bench_latency_p50(width: int = 1024, steps: int = 50) -> float:
     """Single-cloud inference p50 latency (ms). Per-call host sync — includes
     the tunnel round-trip, so this is an upper bound on on-device latency."""
@@ -484,6 +511,7 @@ def main() -> None:
          lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16, unroll=4)),
         ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
         ("pointnet2_infer_clouds_per_s_b256", bench_infer_pointnet2),
+        ("dgcnn_infer_clouds_per_s_b64", bench_infer_dgcnn),
     ]:
         try:
             log(f"[*] {name}: {fn():.4g}")

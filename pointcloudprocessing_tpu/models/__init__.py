@@ -8,6 +8,7 @@ from pointcloudprocessing_tpu.models.pointnet import (
     layer_trainability,
 )
 from pointcloudprocessing_tpu.models.pointnet2 import PointNet2
+from pointcloudprocessing_tpu.models.dgcnn import DGCNN
 from pointcloudprocessing_tpu.models.classifier import PointNetClassifier, TNetRegressor
 from pointcloudprocessing_tpu.models.pipeline import PointCloudPipeline
 
@@ -17,6 +18,7 @@ __all__ = [
     "TNet",
     "PointNet",
     "PointNet2",
+    "DGCNN",
     "FreezeFlags",
     "NOTHING_FROZEN",
     "freeze_flags_from_trainable",

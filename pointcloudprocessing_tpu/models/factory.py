@@ -10,7 +10,7 @@ from typing import Optional
 
 from pointcloudprocessing_tpu.models.pointnet import PointNet
 
-MODEL_FAMILIES = ("pointnet", "pointnet2")
+MODEL_FAMILIES = ("pointnet", "pointnet2", "dgcnn")
 
 
 def model_from_config(
@@ -42,6 +42,17 @@ def model_from_config(
             dropout_rate=dropout_rate,
             dtype=dtype,
             allow_pallas=allow_pallas,
+        )
+    if cfg.model == "dgcnn":
+        from pointcloudprocessing_tpu.models.dgcnn import dgcnn_for_width
+
+        # no Pallas custom calls in this family — allow_pallas is moot
+        return dgcnn_for_width(
+            cfg.num_classes,
+            cfg.num_parts,
+            cfg.input_width,
+            dropout_rate=dropout_rate,
+            dtype=dtype,
         )
     if cfg.model == "pointnet":
         return PointNet(

@@ -310,6 +310,13 @@ class TrainProfile:
 
                 self._log.info("PointNet2 Build")
                 report = layer_trainability_pointnet2(freeze)
+            elif cfg.model == "dgcnn":
+                from pointcloudprocessing_tpu.models.dgcnn import (
+                    layer_trainability_dgcnn,
+                )
+
+                self._log.info("DGCNN Build")
+                report = layer_trainability_dgcnn(freeze)
             else:
                 self._log.info("PointNet Build")
                 report = layer_trainability(freeze, cfg.vanilla)

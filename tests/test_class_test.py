@@ -193,3 +193,50 @@ def test_pointnet2_four_way_learns(four_class_run_pointnet2):
     # seed margin.
     assert acc[-1] > 0.75, f"final train accuracy {acc[-1]} under the 0.75 floor"
     assert max(val_acc) > 0.55, f"best val accuracy {max(val_acc)} under the 0.55 floor"
+
+
+@pytest.fixture(scope="module")
+def four_class_run_dgcnn(tmp_path_factory):
+    """The same 4-way exercise through the DGCNN family
+    (params.model='dgcnn') — pins that the third family LEARNS through the
+    full driver: dynamic kNN graphs, one-hot gathers, edge MLPs, freeze
+    chaining."""
+    from pointcloudprocessing_tpu.train.profile import TrainProfile
+
+    tmp_path = tmp_path_factory.mktemp("class_test_dgcnn")
+    in_dir = tmp_path / "input"
+    os.makedirs(in_dir, exist_ok=True)
+
+    meshes = shape_library(N_CLASSES)
+    collects = []
+    for k, ((_, mesh), class_name) in enumerate(zip(meshes.items(), CLASS_NAMES)):
+        sampler = MeshSampler(None, class_name, mesh=mesh, random_seed=11 + k)
+        obs, _, positions, dcms = sampler.create_viewpoint_observations(
+            n=48, p=400, pad=WIDTH
+        )
+        parts = dominant_axis_parts(obs)
+        collects.append(
+            write_collect(
+                str(in_dir / f"collect_{class_name}"),
+                obs, class_name, parts, dcms=dcms, positions=positions,
+            )
+        )
+
+    config_path = _make_tiny_class_config(tmp_path, collects)
+    with open(config_path) as f:
+        cfg = json.load(f)
+    cfg["params"]["model"] = "dgcnn"
+    with open(config_path, "w") as f:
+        json.dump(cfg, f)
+    tp = TrainProfile(config_path, log_to_file=False)
+    return tp.train()
+
+
+def test_dgcnn_four_way_learns(four_class_run_dgcnn):
+    h = four_class_run_dgcnn["four_class_class"]
+    acc = h["classification_output_sparse_categorical_accuracy"]
+    val_acc = h["val_classification_output_sparse_categorical_accuracy"]
+    # Floors calibrated the same way as the PN++ test (chance 0.25, ~28
+    # granular val samples); tighten once multi-seed data accumulates.
+    assert acc[-1] > 0.75, f"final train accuracy {acc[-1]} under the 0.75 floor"
+    assert max(val_acc) > 0.55, f"best val accuracy {max(val_acc)} under the 0.55 floor"

@@ -1,0 +1,182 @@
+"""DGCNN family tests: graph/edge ops vs numpy, head contract, freeze masks
+through the optimizer, and the training-driver integration.
+
+The reference repo has no DGCNN — this family is beyond-reference surface
+(models/dgcnn.py) built on the framework's own kNN/gather formulations, so
+these tests pin OUR semantics rather than parity."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloudprocessing_tpu.models import DGCNN, FreezeFlags
+from pointcloudprocessing_tpu.models.dgcnn import (
+    dgcnn_for_width,
+    edge_features,
+    knn_graph,
+)
+
+TINY = dict(
+    k=8,
+    edge_widths=(8, 16),
+    emb_width=32,
+    exact_knn=True,
+)
+
+
+def _cloud(b=2, n=64, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=(b, n, 3)).astype(np.float32)
+    )
+
+
+def test_knn_graph_matches_numpy():
+    """Exact-mode graph indices = brute-force numpy kNN (self included, as
+    in the canonical DGCNN implementations)."""
+    x = _cloud(b=2, n=40, seed=3)
+    idx = jax.jit(lambda x: knn_graph(x, 5, exact=True))(x)
+    assert idx.shape == (2, 40, 5)
+    pts = np.asarray(x)
+    for b in range(2):
+        for i in range(40):
+            d = np.sum((pts[b] - pts[b, i]) ** 2, -1)
+            expect = set(np.argsort(d, kind="stable")[:5].tolist())
+            got = set(np.asarray(idx[b, i]).tolist())
+            assert got == expect, (b, i, got, expect)
+            assert i in got  # self edge
+
+
+def test_edge_features_semantics():
+    """Edge tensor rows are [x_i ++ (x_j - x_i)] for each graph edge."""
+    x = _cloud(b=1, n=16, seed=4)
+    idx = knn_graph(x, 4, exact=True)
+    e = jax.jit(edge_features)(x, idx)
+    assert e.shape == (1, 16, 4, 6)
+    pts = np.asarray(x[0])
+    for i in range(16):
+        for slot in range(4):
+            j = int(idx[0, i, slot])
+            np.testing.assert_allclose(np.asarray(e[0, i, slot, :3]), pts[i],
+                                       rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(e[0, i, slot, 3:]), pts[j] - pts[i],
+                rtol=1e-5, atol=1e-6,
+            )
+
+
+def test_forward_contract():
+    """Output dict matches the PointNet head contract: shapes, softmax rows,
+    identity se3, and heads subsetting skipping the seg head."""
+    model = DGCNN(num_classes=5, num_parts=4, **TINY)
+    x = _cloud()
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.key(0), x
+    )
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    assert out["classification_output"].shape == (2, 5)
+    assert out["segmentation_output"].shape == (2, 64, 4)
+    assert out["se3"].shape == (2, 3, 3)
+    np.testing.assert_allclose(
+        np.sum(out["classification_output"], -1), 1.0, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.sum(out["segmentation_output"], -1), 1.0, rtol=1e-5
+    )
+    np.testing.assert_allclose(out["se3"], np.eye(3)[None].repeat(2, 0))
+
+    subset = jax.jit(
+        lambda v, x: model.apply(
+            v, x, train=False, heads=("classification_output",)
+        )
+    )(variables, x)
+    assert set(subset) == {"classification_output"}
+    np.testing.assert_allclose(
+        subset["classification_output"], out["classification_output"],
+        rtol=1e-6,
+    )
+
+
+def test_freeze_masks_through_optimizer():
+    """The classification-pretrain stage freeze must leave every mlp_seg_*
+    param untouched after an optimizer step while the trunk and cls head
+    move — the same freeze_label_tree machinery as the other families."""
+    from pointcloudprocessing_tpu.core.config import LearningConfig
+    from pointcloudprocessing_tpu.train import steps as steps_lib
+
+    model = DGCNN(num_classes=3, num_parts=4, **TINY)
+    freeze = FreezeFlags(segmentation_head=True)
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), 64, LearningConfig(rate=1e-2), freeze,
+        batch_size=2,
+    )
+    step = steps_lib.make_train_step(
+        model, optimizer, (1.0, 0.0, 0.0), freeze, (0.0, 0.0, 0.0)
+    )
+    x = _cloud(b=2, n=64, seed=1)
+    targets = {
+        "classification_output": jnp.array([0, 2], jnp.int32),
+        "segmentation_output": jnp.zeros((2, 64), jnp.int32),
+        "se3": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+    }
+    old_params = jax.device_get(state.params)  # the step donates state
+    new_state, logs = step(state, x, targets, jax.random.key(2))
+    assert np.isfinite(float(logs["loss"]))
+
+    moved, held = [], []
+    flat_old = jax.tree_util.tree_flatten_with_path(old_params)[0]
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(new_state.params)[0])
+    for path, old in flat_old:
+        top = path[0].key
+        changed = bool(np.any(np.asarray(old) != np.asarray(flat_new[path])))
+        (held if top.startswith("mlp_seg") else moved).append((top, changed))
+    assert all(not c for _, c in held), [t for t, c in held if c]
+    assert any(c for _, c in moved)
+
+
+def test_train_profile_dgcnn_e2e(tmp_path):
+    """Full driver run with params.model='dgcnn': both stages train, history
+    has the exact Keras keys, checkpoints + StableHLO land, and the ONNX
+    gate degrades with the family advisory."""
+    from test_train_profile import make_config
+    from pointcloudprocessing_tpu.train.profile import TrainProfile
+
+    config_path = make_config(tmp_path, epochs=2)
+    with open(config_path) as f:
+        cfg = json.load(f)
+    cfg["params"]["model"] = "dgcnn"
+    with open(config_path, "w") as f:
+        json.dump(cfg, f)
+
+    tp = TrainProfile(config_path, log_to_file=False)
+    tp.steps_per_dispatch = 2
+    histories = tp.train()
+    assert set(histories) == {"classification_pretrain", "final"}
+    h = histories["final"]
+    assert len(h["loss"]) == 2
+    assert all(np.isfinite(v) for v in h["loss"])
+    stage_dir = tmp_path / "models" / "tiny" / "final"
+    assert (stage_dir / "best").is_dir()
+    assert (stage_dir / "tiny_final.stablehlo").exists()
+    assert not (stage_dir / "tiny_final.onnx").exists()  # family-gated
+
+
+def test_bf16_mode_runs():
+    model = DGCNN(num_classes=3, num_parts=4, dtype=jnp.bfloat16, **TINY)
+    x = _cloud()
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.key(0), x
+    )
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    # heads stay f32 regardless of trunk dtype
+    assert out["classification_output"].dtype == jnp.float32
+    assert out["segmentation_output"].dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out["segmentation_output"])))
+
+
+def test_for_width_clamps():
+    assert dgcnn_for_width(3, 4, 8).k == 8
+    canonical = dgcnn_for_width(3, 4, 1024)
+    assert canonical.k == 20
+    assert canonical.edge_widths == (64, 64, 128, 256)
