@@ -39,7 +39,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pointcloudprocessing_tpu.core.constants import KERAS_BN_MOMENTUM
+from pointcloudprocessing_tpu.core.constants import (
+    KERAS_BN_EPSILON,
+    KERAS_BN_MOMENTUM,
+)
 from pointcloudprocessing_tpu.models.layers import (
     ConcatPointwiseBlock,
     DenseBlock,
@@ -120,19 +123,114 @@ def edge_features(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([center, nbr - center], axis=-1)
 
 
+class _EdgeKernel(nn.Module):
+    """Bare (2c, features) kernel param — declared through a module named
+    ``conv`` so the factored edge block's parameter tree is byte-identical
+    to ``PointwiseBlock``'s (``l1/conv/kernel``): checkpoints trained with
+    either edge implementation load into the other."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (self.in_features, self.features),
+        )
+
+
+class _FactoredEdgeBlock(nn.Module):
+    """EdgeConv MLP + neighbor-max with the edge tensor factored away.
+
+    The edge matmul distributes over the concat:
+    ``W [x_i ++ (x_j - x_i)] = (U - V) x_i + V x_j = p_i + q_j`` with
+    ``U = W[:c]``, ``V = W[c:]``. So instead of gathering neighbor features,
+    materializing the (b, n, k, 2c) edge tensor, and running a k-times-wider
+    matmul over it (the canonical CUDA formulation), this computes two
+    per-point matmuls and gathers ``q`` — k-fold fewer MLP FLOPs and no
+    (b, n, k, 2c) HBM round trip.
+
+    When BN runs from fixed statistics (inference, or a frozen layer) the
+    neighbor max collapses too: per channel the affine+relu is monotone in
+    ``q_j`` (direction given by the affine scale's sign), so the max over k
+    neighbors is attained at ``max_j q_j`` or ``min_j q_j`` —
+    ``max(relu(BN(p + qmax)), relu(BN(p + qmin)))`` selects the right
+    extremum per channel with no sign bookkeeping, and nothing k-wide ever
+    exists. With batch statistics (training) the (b, n, k, w) tensor is
+    materialized so the BN moments see the exact edge population — still
+    ahead of the canonical path by the edge matmul and the 2c edge tensor.
+
+    Parameter/batch-stats tree is identical to ``PointwiseBlock`` (module
+    name ``l1``, children ``conv``/``bn``), so both edge implementations are
+    checkpoint-compatible both ways.
+    """
+
+    features: int
+    bn_momentum: float = KERAS_BN_MOMENTUM
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, idx, *, train: bool, frozen: bool = False):
+        c = x.shape[-1]
+        kernel = _EdgeKernel(2 * c, self.features, name="conv")()
+        bn = nn.BatchNorm(
+            use_running_average=(not train) or frozen,
+            momentum=self.bn_momentum,
+            epsilon=KERAS_BN_EPSILON,
+            dtype=self.dtype,
+            name="bn",
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        u, v = kernel[:c], kernel[c:]
+        p = x @ (u - v)  # (b, n, w)
+        q = x @ v
+        g = gather_rows(q, idx)  # (b, n, k, w) — one-hot MXU matmul on TPU
+        if train and not frozen:
+            h = bn(p[:, :, None, :] + g)
+            return jnp.max(nn.relu(h), axis=2)
+        qmax = jnp.max(g, axis=2)
+        qmin = jnp.min(g, axis=2)
+        return jnp.maximum(
+            nn.relu(bn(p + qmax)), nn.relu(bn(p + qmin))
+        )
+
+
 class _EdgeConv(nn.Module):
     """One EdgeConv: dynamic kNN graph + pointwise MLP over the edge tensor
-    + max over the neighbor axis."""
+    + max over the neighbor axis.
+
+    ``impl='reference'`` materializes the (b, n, k, 2c) edge tensor and runs
+    ``PointwiseBlock`` over it (the literal Wang et al. dataflow; bit-stable
+    on CPU for the numpy-golden tests). ``impl='factored'`` computes the
+    identical function through :class:`_FactoredEdgeBlock`. ``'auto'`` picks
+    factored on TPU backends, reference elsewhere."""
 
     features: int
     k: int
     bn_momentum: float = KERAS_BN_MOMENTUM
     dtype: Optional[jnp.dtype] = None
     exact_knn: bool = False
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train: bool, frozen: bool = False):
+        impl = self.impl
+        if impl == "auto":
+            impl = (
+                "factored"
+                if jax.default_backend() in ("tpu", "axon")
+                else "reference"
+            )
         idx = knn_graph(x, self.k, exact=self.exact_knn)
+        if impl == "factored":
+            return _FactoredEdgeBlock(
+                self.features, bn_momentum=self.bn_momentum, dtype=self.dtype,
+                name="l1",
+            )(x, idx, train=train, frozen=frozen)
         e = edge_features(x, idx)
         h = PointwiseBlock(
             self.features, bn_momentum=self.bn_momentum, dtype=self.dtype,
@@ -168,6 +266,7 @@ class DGCNN(nn.Module):
     bn_momentum: float = KERAS_BN_MOMENTUM
     dtype: Optional[jnp.dtype] = None
     exact_knn: bool = False
+    edge_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -188,7 +287,7 @@ class DGCNN(nn.Module):
         for i, width in enumerate(self.edge_widths):
             x = _EdgeConv(
                 width, self.k, self.bn_momentum, self.dtype, self.exact_knn,
-                name=f"ec{i + 1}",
+                self.edge_impl, name=f"ec{i + 1}",
             )(x, train=train, frozen=frozen_trunk)
             layer_outs.append(x)
         local = jnp.concatenate(layer_outs, axis=-1)  # (b, n, sum(widths))

@@ -180,3 +180,64 @@ def test_for_width_clamps():
     canonical = dgcnn_for_width(3, 4, 1024)
     assert canonical.k == 20
     assert canonical.edge_widths == (64, 64, 128, 256)
+
+
+def test_factored_edge_impl_matches_reference():
+    """The factored edge block (p_i + q_j split kernel, relu-max collapse
+    under fixed BN stats) computes the same function as the literal edge-
+    tensor dataflow, from the same parameter tree, in every mode."""
+    kwargs = dict(num_classes=5, num_parts=4, **TINY)
+    ref = DGCNN(edge_impl="reference", **kwargs)
+    fac = DGCNN(edge_impl="factored", **kwargs)
+    x = _cloud(b=2, n=64, seed=7)
+
+    v_ref = ref.init(jax.random.key(0), x, train=False)
+    v_fac = fac.init(jax.random.key(0), x, train=False)
+    paths_ref = [p for p, _ in jax.tree_util.tree_flatten_with_path(v_ref)[0]]
+    paths_fac = [p for p, _ in jax.tree_util.tree_flatten_with_path(v_fac)[0]]
+    assert paths_ref == paths_fac  # checkpoint-compatible both ways
+
+    # inference (running stats -> collapsed max path)
+    out_ref = jax.jit(lambda v, x: ref.apply(v, x, train=False))(v_ref, x)
+    out_fac = jax.jit(lambda v, x: fac.apply(v, x, train=False))(v_ref, x)
+    for head in ("classification_output", "segmentation_output"):
+        np.testing.assert_allclose(
+            np.asarray(out_ref[head]), np.asarray(out_fac[head]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    # training (batch stats over the exact edge population) — outputs AND
+    # the BN moment updates must agree
+    rngs = {"dropout": jax.random.key(3)}
+    (tr_ref, st_ref) = ref.apply(
+        v_ref, x, train=True, mutable=["batch_stats"], rngs=rngs
+    )
+    (tr_fac, st_fac) = fac.apply(
+        v_ref, x, train=True, mutable=["batch_stats"], rngs=rngs
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr_ref["segmentation_output"]),
+        np.asarray(tr_fac["segmentation_output"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    flat_ref = jax.tree_util.tree_flatten_with_path(st_ref)[0]
+    flat_fac = dict(jax.tree_util.tree_flatten_with_path(st_fac)[0])
+    for path, val in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(val), np.asarray(flat_fac[path]),
+            rtol=1e-4, atol=1e-6, err_msg=str(path),
+        )
+
+    # frozen trunk in train mode (running stats -> collapse even in train)
+    fr = FreezeFlags(shared_network=True)
+    (fz_ref, _) = ref.apply(
+        v_ref, x, train=True, freeze=fr, mutable=["batch_stats"], rngs=rngs
+    )
+    (fz_fac, _) = fac.apply(
+        v_ref, x, train=True, freeze=fr, mutable=["batch_stats"], rngs=rngs
+    )
+    np.testing.assert_allclose(
+        np.asarray(fz_ref["segmentation_output"]),
+        np.asarray(fz_fac["segmentation_output"]),
+        rtol=1e-4, atol=1e-5,
+    )
