@@ -1,11 +1,13 @@
 """DGCNN hotspot experiments (family baseline: 2,682 clouds/s b64/1024pt
 bf16 = 23.9 ms/step at first TPU measurement).
 
-Rough bf16-MXU floor estimate for the b64 canonical model is ~4-6 ms
-(distance matmuls ~1.3 ms, one-hot neighbor gathers ~3 ms, edge MLPs
-~1.5 ms), so the first measurement carries ~4-5x headroom. Each experiment
-isolates one component at the real shape and races candidate formulations,
-following docs/exp/pn2_hotspot_bench.py.
+MEASURED (v5e, see docs/PERF.md "DGCNN hotspots"): the floor estimate
+below was wrong — the four PartialReduce kNN calls are ~8 ms (1.7-3.0 ms
+each; the distance matmul is negligible and bf16 distances buy nothing
+over HIGHEST) and the one-hot gathers ~10 ms (b*n*k*n*width dense
+contraction per k-sparse selection). The factored U/V edge block won
+(ec4 8.66 -> 7.73 ms; full model 24.8 -> 23.1 ms) and ships as the TPU
+default; exact top_k (20 ms/layer) must never be used at model shapes.
 
 Run:  python docs/exp/dgcnn_hotspot_bench.py [exp ...]   (default: all)
 """

@@ -368,6 +368,37 @@ def check_onehot_gather() -> None:
     check("one-hot gather bf16 exactness", exact, 0.0, "abs")
 
 
+def check_dgcnn_factored_edge() -> None:
+    """DGCNN's factored split-kernel edge block vs the literal edge-tensor
+    dataflow ON HARDWARE, where both ride the one-hot MXU gathers and the
+    factored path additionally collapses the neighbor max under fixed BN
+    stats. The CPU equality test (test_dgcnn.py) covers the native-gather
+    backend only; this pins the TPU dataflow pair in bf16 (the serving
+    configuration) against each other."""
+    from pointcloudprocessing_tpu.models.dgcnn import dgcnn_for_width
+
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.normal(size=(8, 256, 3)).astype(np.float32))
+    outs = {}
+    for impl in ("reference", "factored"):
+        model = dgcnn_for_width(
+            23, 12, 256, dtype=jnp.bfloat16, edge_impl=impl
+        )
+        variables = jax.jit(
+            lambda r, x, m=model: m.init(r, x, train=False)
+        )(jax.random.key(0), pts[:1])
+        outs[impl] = jax.jit(
+            lambda v, x, m=model: m.apply(v, x, train=False)
+        )(variables, pts)
+    for head in ("classification_output", "segmentation_output"):
+        a = np.asarray(outs["reference"][head], np.float32)
+        b = np.asarray(outs["factored"][head], np.float32)
+        # bf16 trunk: the factoring redistributes rounding; softmax outputs
+        # agree to bf16-scale absolute error
+        check(f"dgcnn factored {head} max |d|",
+              float(np.max(np.abs(a - b))), 3e-2, "abs")
+
+
 def main() -> int:
     print(f"backend: {jax.default_backend()}; devices: {jax.devices()}",
           flush=True)
@@ -378,6 +409,7 @@ def main() -> int:
         check_fps_selection,
         check_inference_precision_drift,
         check_onehot_gather,
+        check_dgcnn_factored_edge,
         check_shardmap_pipeline,
         check_pooled_chain_training,
         check_shardmap_training,
