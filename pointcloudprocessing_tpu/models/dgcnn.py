@@ -219,6 +219,13 @@ class _EdgeConv(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool, frozen: bool = False):
         impl = self.impl
+        if impl not in ("auto", "reference", "factored"):
+            # a typo like 'factoredd' must not silently run the slow
+            # literal dataflow and mask a perf regression
+            raise ValueError(
+                f"edge impl must be 'auto', 'reference', or 'factored'; "
+                f"got {impl!r}"
+            )
         if impl == "auto":
             impl = (
                 "factored"

@@ -10,6 +10,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pointcloudprocessing_tpu.models import DGCNN, FreezeFlags
 from pointcloudprocessing_tpu.models.dgcnn import (
@@ -241,3 +242,11 @@ def test_factored_edge_impl_matches_reference():
         np.asarray(fz_fac["segmentation_output"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_unknown_edge_impl_raises():
+    """A typo like edge_impl='factoredd' must error, not silently run the
+    slow literal dataflow (advisor finding, round 3)."""
+    model = DGCNN(num_classes=5, num_parts=4, edge_impl="factoredd", **TINY)
+    with pytest.raises(ValueError, match="edge impl"):
+        model.init(jax.random.key(0), _cloud(b=1, n=32, seed=0), train=False)

@@ -380,9 +380,13 @@ def check_dgcnn_factored_edge() -> None:
     rng = np.random.default_rng(11)
     pts = jnp.asarray(rng.normal(size=(8, 256, 3)).astype(np.float32))
     outs = {}
+    # exact_knn shares one deterministic graph between the two dataflows:
+    # with approx_min_k, bf16 rounding perturbs the per-layer feature
+    # spaces enough to select DIFFERENT neighbors after ec1, and the check
+    # would measure graph divergence, not the factoring's numeric error
     for impl in ("reference", "factored"):
         model = dgcnn_for_width(
-            23, 12, 256, dtype=jnp.bfloat16, edge_impl=impl
+            23, 12, 256, dtype=jnp.bfloat16, edge_impl=impl, exact_knn=True
         )
         variables = jax.jit(
             lambda r, x, m=model: m.init(r, x, train=False)
@@ -393,10 +397,10 @@ def check_dgcnn_factored_edge() -> None:
     for head in ("classification_output", "segmentation_output"):
         a = np.asarray(outs["reference"][head], np.float32)
         b = np.asarray(outs["factored"][head], np.float32)
-        # bf16 trunk: the factoring redistributes rounding; softmax outputs
-        # agree to bf16-scale absolute error
+        # bf16 trunk on a shared exact-kNN graph: the only difference is
+        # how the factoring redistributes rounding (measured 7.4e-4 on v5e)
         check(f"dgcnn factored {head} max |d|",
-              float(np.max(np.abs(a - b))), 3e-2, "abs")
+              float(np.max(np.abs(a - b))), 5e-3, "abs")
 
 
 def main() -> int:
