@@ -112,3 +112,45 @@ def flax_variables_from_keras_pointnet(keras_model, vanilla: bool = False) -> di
             stats[name] = s
 
     return {"params": params, "batch_stats": stats}
+
+
+def flax_variables_from_keras_classifier(keras_model) -> dict:
+    """Convert a reference legacy Keras ``PointNetClassifier``
+    (``pointnet/PointNetClassifier.py:85``) into flax variables shaped like
+    ``models.classifier.PointNetClassifier(num_classes).init(...)``.
+
+    The legacy conventions differ from the current model and are carried by
+    the module structure itself: T-Net convs without BN/activation (so their
+    Keras weights are ``[kernel, bias]`` — PointNetClassifier.py:283-285),
+    zero-initialized transform ``w`` (:292), and no input normalization.
+    ``padding='valid'`` (:349) is numerically identical to ``'same'`` for a
+    (1, 1) kernel, so no mapping difference arises from it.
+    """
+    params, stats = {}, {}
+    for name in ("input_transform", "feature_transform"):
+        p, s = _tnet_to_flax(getattr(keras_model, name))
+        params[name] = p
+        if s:
+            stats[name] = s
+    for name in ("mlp_1_1", "mlp_1_2", "mlp_2_1", "mlp_2_2", "mlp_2_3"):
+        p, s = _block_to_flax(getattr(keras_model, name), is_conv=True)
+        params[name] = p
+        if s:
+            stats[name] = s
+    for name in ("dense_1", "dense_2", "dense_out"):
+        p, s = _block_to_flax(getattr(keras_model, name), is_conv=False)
+        params[name] = p
+        if s:
+            stats[name] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def flax_variables_from_keras_tnet_regressor(keras_model) -> dict:
+    """Convert a reference Keras ``TNetRegressor``
+    (``pointnet/PointNetClassifier.py:188``) into flax variables shaped like
+    ``models.classifier.TNetRegressor().init(...)``."""
+    p, s = _tnet_to_flax(keras_model.input_transform)
+    variables = {"params": {"input_transform": p}, "batch_stats": {}}
+    if s:
+        variables["batch_stats"]["input_transform"] = s
+    return variables

@@ -17,6 +17,30 @@ import pytest
 REFERENCE_DIR = "/root/reference/point_cloud_analysis"
 
 
+def _stub_plotly():
+    if "plotly" not in sys.modules:
+        plotly = types.ModuleType("plotly")
+        go = types.ModuleType("plotly.graph_objects")
+        subplots = types.ModuleType("plotly.subplots")
+        subplots.make_subplots = lambda *a, **k: None
+        plotly.graph_objects = go
+        plotly.subplots = subplots
+        sys.modules["plotly"] = plotly
+        sys.modules["plotly.graph_objects"] = go
+        sys.modules["plotly.subplots"] = subplots
+
+
+def _import_reference_classifier():
+    """Import the reference's LEGACY model module
+    (pointnet/PointNetClassifier.py) live, plotting deps stubbed."""
+    _stub_plotly()
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    import pointnet.PointNetClassifier as ref_classifier  # noqa: E402
+
+    return ref_classifier
+
+
 def _import_reference_pointnet():
     """Import the reference model module with its plotting deps stubbed
     (plotly is not installed here and is irrelevant to the math)."""
@@ -171,3 +195,102 @@ def test_vanilla_parity():
         np.asarray(out["segmentation_output"]), tf_seg.numpy(), atol=1e-4
     )
     np.testing.assert_allclose(np.asarray(out["se3"]), tf_r.numpy(), atol=1e-4)
+
+
+def test_legacy_classifier_parity():
+    """Legacy-family pin (VERDICT round-3 item 2): the reference
+    ``PointNetClassifier`` (PointNetClassifier.py:85) has deliberately
+    different conventions from the current model — zero-initialized
+    transform ``w`` (:292), ``padding='valid'`` (:349), T-Net convs without
+    BN or activation (:283-285). Transfer live Keras weights and hold the
+    softmax output to the same 1e-4 bar.
+
+    A freshly-initialized legacy T-Net is exactly the identity (w is zeros,
+    b is identity), so to also exercise the w path the Keras weights are
+    perturbed to random values before transfer.
+    """
+    from pointcloudprocessing_tpu.models.classifier import PointNetClassifier
+    from pointcloudprocessing_tpu.export.keras_compat import (
+        flax_variables_from_keras_classifier,
+    )
+
+    ref_mod = _import_reference_classifier()
+    tf.keras.utils.set_random_seed(3)
+    keras_model = ref_mod.PointNetClassifier(output_width=C)
+    keras_model.build(input_shape=(None, N, 3))
+    keras_model(tf.zeros((1, N, 3)), training=False)
+
+    # exercise the zero-init w path AND a nontrivial transform: randomize
+    # every weight (incl. w/b and BN stats) the way a trained model would be
+    rng = np.random.default_rng(29)
+    for v in keras_model.weights:
+        shape = v.shape.as_list()
+        if v.name.endswith("moving_variance") or "variance" in v.name:
+            v.assign(rng.uniform(0.5, 2.0, shape).astype(np.float32))
+        else:
+            v.assign(rng.normal(0.0, 0.05, shape).astype(np.float32))
+
+    flax_model = PointNetClassifier(num_classes=C)
+    variables = flax_variables_from_keras_classifier(keras_model)
+
+    pts = rng.uniform(-4.0, 4.0, (B, N, 3)).astype(np.float32)
+    tf_out = keras_model(tf.constant(pts), training=False).numpy()
+    out = flax_model.apply(variables, pts, train=False)
+    np.testing.assert_allclose(np.asarray(out), tf_out, atol=1e-4)
+
+
+def test_legacy_classifier_parity_fresh_init():
+    """Same pin at the reference's actual initialization (zero w, identity
+    b, Glorot convs WITH bias since apply_bn=False in the legacy T-Net) —
+    catches convention bugs the randomized test could mask."""
+    from pointcloudprocessing_tpu.models.classifier import PointNetClassifier
+    from pointcloudprocessing_tpu.export.keras_compat import (
+        flax_variables_from_keras_classifier,
+    )
+
+    ref_mod = _import_reference_classifier()
+    tf.keras.utils.set_random_seed(13)
+    keras_model = ref_mod.PointNetClassifier(output_width=C)
+    keras_model.build(input_shape=(None, N, 3))
+    keras_model(tf.zeros((1, N, 3)), training=False)
+
+    flax_model = PointNetClassifier(num_classes=C)
+    variables = flax_variables_from_keras_classifier(keras_model)
+
+    rng = np.random.default_rng(31)
+    pts = rng.uniform(-4.0, 4.0, (B, N, 3)).astype(np.float32)
+    tf_out = keras_model(tf.constant(pts), training=False).numpy()
+    out = flax_model.apply(variables, pts, train=False)
+    np.testing.assert_allclose(np.asarray(out), tf_out, atol=1e-4)
+
+
+def test_legacy_tnet_regressor_parity():
+    """``TNetRegressor`` (PointNetClassifier.py:188) DCM-output parity at
+    1e-4 with live-transferred weights (randomized as in the classifier
+    test so the zero-init w contributes)."""
+    from pointcloudprocessing_tpu.models.classifier import TNetRegressor
+    from pointcloudprocessing_tpu.export.keras_compat import (
+        flax_variables_from_keras_tnet_regressor,
+    )
+
+    ref_mod = _import_reference_classifier()
+    tf.keras.utils.set_random_seed(19)
+    keras_model = ref_mod.TNetRegressor(add_regularization=True)
+    keras_model.build(input_shape=(None, N, 3))
+    keras_model(tf.zeros((1, N, 3)), training=False)
+
+    rng = np.random.default_rng(37)
+    for v in keras_model.weights:
+        shape = v.shape.as_list()
+        if "variance" in v.name:
+            v.assign(rng.uniform(0.5, 2.0, shape).astype(np.float32))
+        else:
+            v.assign(rng.normal(0.0, 0.05, shape).astype(np.float32))
+
+    flax_model = TNetRegressor(add_regularization=True)
+    variables = flax_variables_from_keras_tnet_regressor(keras_model)
+
+    pts = rng.uniform(-2.0, 2.0, (B, N, 3)).astype(np.float32)
+    tf_dcm = keras_model(tf.constant(pts), training=False).numpy()
+    out = flax_model.apply(variables, pts, train=False)
+    np.testing.assert_allclose(np.asarray(out), tf_dcm, atol=1e-4)
