@@ -51,24 +51,27 @@ def export_onnx(
     interpreter in test_onnx_native.py) produces the artifact instead.
     """
     if not onnx_available():
-        if not isinstance(model, PointNet):
-            # the native writer emits the PointNet inference graph from the
-            # param tree; other families (PointNet2's FPS/kNN gathers have
-            # no hand-written opset-13 lowering) need the real toolchain
+        from pointcloudprocessing_tpu.models.dgcnn import DGCNN
+        from pointcloudprocessing_tpu.models.pointnet2 import PointNet2
+        from pointcloudprocessing_tpu.export import onnx_native
+
+        if isinstance(model, PointNet):
+            emit = onnx_native.export_onnx_native
+        elif isinstance(model, PointNet2):
+            emit = onnx_native.export_onnx_native_pointnet2
+        elif isinstance(model, DGCNN):
+            emit = onnx_native.export_onnx_native_dgcnn
+        else:
             print_func(
                 f"ONNX export for {type(model).__name__} needs the "
                 "tf2onnx/onnx toolchain (the native opset-13 writer covers "
-                "the PointNet family only); StableHLO remains the portable "
-                "artifact for this model."
+                "the PointNet/PointNet2/DGCNN families); StableHLO remains "
+                "the portable artifact for this model."
             )
             return False
         print_func(GATING_MESSAGE)
-        from pointcloudprocessing_tpu.export.onnx_native import (
-            export_onnx_native,
-        )
-
-        export_onnx_native(model, variables, input_width, path,
-                           print_func=print_func, opset=opset)
+        emit(model, variables, input_width, path,
+             print_func=print_func, opset=opset)
         return True
 
     import tensorflow as tf

@@ -13,10 +13,14 @@ import pytest
 
 from pointcloudprocessing_tpu.export.onnx_native import (
     export_onnx_native,
+    export_onnx_native_dgcnn,
+    export_onnx_native_pointnet2,
     parse_model,
     run_onnx,
 )
 from pointcloudprocessing_tpu.models import PointNet
+from pointcloudprocessing_tpu.models.dgcnn import dgcnn_for_width
+from pointcloudprocessing_tpu.models.pointnet2 import pointnet2_for_width
 
 
 @pytest.mark.parametrize("vanilla", [False, True])
@@ -53,6 +57,83 @@ def test_onnx_export_matches_jax(tmp_path, rng, vanilla):
         np.testing.assert_allclose(
             got[k], np.asarray(want[k]), atol=1e-4,
             err_msg=f"head {k} (vanilla={vanilla})",
+        )
+
+
+def _nontrivial_stats(variables):
+    """Perturb 1-D leaves so folded BN statistics are not the init
+    identity (fresh init has mean 0 / var 1 everywhere)."""
+    import jax.tree_util as jtu
+
+    return jtu.tree_map(
+        lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size
+        if a.ndim == 1 else a,
+        variables,
+    )
+
+
+def test_onnx_export_pointnet2_matches_jax(tmp_path, rng):
+    """PointNet++ export graph (FPS unrolled, exact TopK kNN, 3-NN
+    interpolation) vs model.apply with exact_knn=True — the export side of
+    the approx_min_k recall-0.85 trade (VERDICT round-3 item 4)."""
+    n, b = 64, 2
+    model = pointnet2_for_width(5, 4, n, exact_knn=True)
+    x0 = jnp.asarray(rng.normal(size=(1, n, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x0, train=False)
+    variables = _nontrivial_stats(variables)
+
+    path = str(tmp_path / "pointnet2.onnx")
+    export_onnx_native_pointnet2(
+        model, variables, n, path, print_func=lambda s: None
+    )
+
+    parsed = parse_model(open(path, "rb").read())
+    assert parsed["opset"] == 13
+    assert parsed["outputs"] == [
+        "classification_output", "segmentation_output", "se3",
+    ]
+
+    pts = rng.normal(size=(b, n, 3)).astype(np.float32) * 3.0
+    got = run_onnx(parsed, {"points": pts})
+    want = model.apply(variables, jnp.asarray(pts), train=False)
+
+    assert got["classification_output"].shape == (b, 5)
+    assert got["segmentation_output"].shape == (b, n, 4)
+    for k in ("classification_output", "segmentation_output", "se3"):
+        np.testing.assert_allclose(
+            got[k], np.asarray(want[k]), atol=1e-4, err_msg=f"head {k}"
+        )
+
+
+def test_onnx_export_dgcnn_matches_jax(tmp_path, rng):
+    """DGCNN export graph (per-layer dynamic kNN as exact TopK, literal
+    edge-tensor dataflow) vs model.apply with exact_knn=True."""
+    n, b = 64, 2
+    model = dgcnn_for_width(5, 4, n, exact_knn=True)
+    x0 = jnp.asarray(rng.normal(size=(1, n, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x0, train=False)
+    variables = _nontrivial_stats(variables)
+
+    path = str(tmp_path / "dgcnn.onnx")
+    export_onnx_native_dgcnn(
+        model, variables, n, path, print_func=lambda s: None
+    )
+
+    parsed = parse_model(open(path, "rb").read())
+    assert parsed["opset"] == 13
+    assert parsed["outputs"] == [
+        "classification_output", "segmentation_output", "se3",
+    ]
+
+    pts = rng.normal(size=(b, n, 3)).astype(np.float32) * 3.0
+    got = run_onnx(parsed, {"points": pts})
+    want = model.apply(variables, jnp.asarray(pts), train=False)
+
+    assert got["classification_output"].shape == (b, 5)
+    assert got["segmentation_output"].shape == (b, n, 4)
+    for k in ("classification_output", "segmentation_output", "se3"):
+        np.testing.assert_allclose(
+            got[k], np.asarray(want[k]), atol=1e-4, err_msg=f"head {k}"
         )
 
 
