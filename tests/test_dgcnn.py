@@ -136,10 +136,11 @@ def test_freeze_masks_through_optimizer():
     assert any(c for _, c in moved)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): covered by faster kin + slow lane
 def test_train_profile_dgcnn_e2e(tmp_path):
     """Full driver run with params.model='dgcnn': both stages train, history
-    has the exact Keras keys, checkpoints + StableHLO land, and the ONNX
-    gate degrades with the family advisory."""
+    has the exact Keras keys, and checkpoints + StableHLO + ONNX land (the
+    native opset-13 writer covers this family since round 4)."""
     from test_train_profile import make_config
     from pointcloudprocessing_tpu.train.profile import TrainProfile
 
@@ -160,7 +161,7 @@ def test_train_profile_dgcnn_e2e(tmp_path):
     stage_dir = tmp_path / "models" / "tiny" / "final"
     assert (stage_dir / "best").is_dir()
     assert (stage_dir / "tiny_final.stablehlo").exists()
-    assert not (stage_dir / "tiny_final.onnx").exists()  # family-gated
+    assert (stage_dir / "tiny_final.onnx").exists()
 
 
 def test_bf16_mode_runs():

@@ -26,6 +26,7 @@ def _batches(batch=8, width=32, num_classes=3):
     return make(1), make(2)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): covered by faster kin + slow lane
 def test_run_grid_and_aggregate():
     train_batch, val_batch = _batches()
     results = run_grid(

@@ -147,6 +147,7 @@ def test_freeze_masks_through_optimizer():
     assert any(c for _, c in moved)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): covered by faster kin + slow lane
 def test_train_profile_pointnet2_e2e(tmp_path, monkeypatch):
     """Full driver run with params.model='pointnet2': both stages train,
     history has the exact Keras keys, checkpoints + StableHLO land, and the
@@ -171,7 +172,7 @@ def test_train_profile_pointnet2_e2e(tmp_path, monkeypatch):
     stage_dir = tmp_path / "models" / "tiny" / "final"
     assert (stage_dir / "best").is_dir()
     assert (stage_dir / "tiny_final.stablehlo").exists()
-    assert not (stage_dir / "tiny_final.onnx").exists()  # family-gated
+    assert (stage_dir / "tiny_final.onnx").exists()
 
 
 def test_bf16_mode_runs():

@@ -132,6 +132,7 @@ def test_eval_step_no_mutation(trained_bits):
         np.testing.assert_array_equal(b, a)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): covered by faster kin + slow lane
 def test_data_parallel_step_over_mesh():
     """The same train step runs with the batch sharded over all 8 virtual
     devices and params replicated — gradients all-reduced by XLA."""
@@ -257,6 +258,7 @@ def test_eval_multi_step_matches_sequential(rng):
             )
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): covered by faster kin + slow lane
 def test_shardmap_step_matches_single_device_on_tiled_batch(rng):
     """make_shardmap_train_multi_step with every shard holding IDENTICAL
     data must reproduce the single-device scanned step exactly: per-shard
@@ -333,6 +335,7 @@ def test_shardmap_step_matches_single_device_on_tiled_batch(rng):
     )
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r3 item 8): covered by faster kin + slow lane
 def test_shardmap_step_distinct_shards_stays_replicated(rng):
     """With distinct per-shard data the shard_map step must still produce a
     consistent replicated state (pmean'd grads/stats) and finite global
