@@ -457,6 +457,45 @@ def bench_e2e_pipeline(
     return batch / dt, batch / dt_n, batch / dt_s
 
 
+def bench_e2e_flagship_8192(
+    batch: int = 64, width_in: int = 8192, width_out: int = 1024,
+    steps: int = 60,
+) -> tuple[float, float]:
+    """Flagship-width serving: 8192-pt scans (the kc46/f15 configs'
+    input_width — kc46_lidar_config.json:98) -> voxel -> sampler ->
+    classify, one fused program. Returns (exact-FPS, Morton-stride)
+    clouds/s; the stride sampler's O(n) win over the serial FPS loop grows
+    with scan width (ops/fps.py)."""
+    model = PointNet(num_classes=NUM_CLASSES, num_parts=NUM_PARTS)
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(-20, 20, (batch, width_in, 3)).astype(np.float32)
+    )
+    dummy = jnp.zeros((1, width_out, 3), jnp.float32)
+    variables = jax.device_put(model.init(jax.random.key(0), dummy, train=False))
+
+    from pointcloudprocessing_tpu.ops import stride_sample_and_gather
+
+    @jax.jit
+    def step_fps(x):
+        vox, mask = voxel_downsample_batch(x, 0.4, layout="bcn")
+        _, sampled = farthest_point_sample_and_gather(
+            vox, width_out, mask, layout="bcn"
+        )
+        return model.apply(variables, sampled, train=False,
+                           heads=("classification_output", "se3"))
+
+    @jax.jit
+    def step_stride(x):
+        vox, mask = voxel_downsample_batch(x, 0.4)
+        _, sampled = stride_sample_and_gather(vox, width_out, mask)
+        return model.apply(variables, sampled, train=False,
+                           heads=("classification_output", "se3"))
+
+    dt_f = _pipelined_time(step_fps, pts, steps)
+    dt_s = _pipelined_time(step_stride, pts, steps)
+    return batch / dt_f, batch / dt_s
+
+
 def main() -> None:
     # headline metric FIRST (the extras below pay multi-minute remote
     # compiles; stdout must carry the JSON even if the run is cut short)
@@ -524,6 +563,14 @@ def main() -> None:
         log(f"[*] e2e_stride_serving_clouds_per_s: {e2e_stride:.4g}")
     except Exception as e:
         log(f"e2e_pipeline failed: {type(e).__name__}: {e}")
+    try:
+        fps8k, stride8k = bench_e2e_flagship_8192()
+        log(f"[*] e2e_8192pt_fps_clouds_per_s: {fps8k:.4g} "
+            f"({fps8k * 8192 / 1e6:.3g} Mpts/s scan intake)")
+        log(f"[*] e2e_8192pt_stride_clouds_per_s: {stride8k:.4g} "
+            f"({stride8k * 8192 / 1e6:.3g} Mpts/s scan intake)")
+    except Exception as e:
+        log(f"e2e_flagship_8192 failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

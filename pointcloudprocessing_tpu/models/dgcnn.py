@@ -51,6 +51,7 @@ from pointcloudprocessing_tpu.models.layers import (
 from pointcloudprocessing_tpu.models.pointnet import NOTHING_FROZEN, FreezeFlags
 from pointcloudprocessing_tpu.ops.gather import gather_rows
 from pointcloudprocessing_tpu.ops.normalize import normalize_unit_sphere
+from pointcloudprocessing_tpu.ops.pallas.gather_maxmin import gather_maxmin
 
 
 def dgcnn_for_width(
@@ -170,6 +171,7 @@ class _FactoredEdgeBlock(nn.Module):
     features: int
     bn_momentum: float = KERAS_BN_MOMENTUM
     dtype: Optional[jnp.dtype] = None
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, idx, *, train: bool, frozen: bool = False):
@@ -188,12 +190,15 @@ class _FactoredEdgeBlock(nn.Module):
         u, v = kernel[:c], kernel[c:]
         p = x @ (u - v)  # (b, n, w)
         q = x @ v
-        g = gather_rows(q, idx)  # (b, n, k, w) — one-hot MXU matmul on TPU
         if train and not frozen:
+            g = gather_rows(q, idx)  # (b, n, k, w) — one-hot MXU matmul
             h = bn(p[:, :, None, :] + g)
             return jnp.max(nn.relu(h), axis=2)
-        qmax = jnp.max(g, axis=2)
-        qmin = jnp.min(g, axis=2)
+        # inference: the neighbor extrema collapse the k axis — the VMEM
+        # lane kernel computes them with no (b, n, k, w) tensor at all
+        # (ops/pallas/gather_maxmin.py; one-hot fallback above its width
+        # crossover and under GSPMD jit, which cannot partition custom calls)
+        qmax, qmin = gather_maxmin(q, idx, allow_pallas=self.allow_pallas)
         return jnp.maximum(
             nn.relu(bn(p + qmax)), nn.relu(bn(p + qmin))
         )
@@ -215,6 +220,7 @@ class _EdgeConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
     exact_knn: bool = False
     impl: str = "auto"
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool, frozen: bool = False):
@@ -236,7 +242,7 @@ class _EdgeConv(nn.Module):
         if impl == "factored":
             return _FactoredEdgeBlock(
                 self.features, bn_momentum=self.bn_momentum, dtype=self.dtype,
-                name="l1",
+                allow_pallas=self.allow_pallas, name="l1",
             )(x, idx, train=train, frozen=frozen)
         e = edge_features(x, idx)
         h = PointwiseBlock(
@@ -274,6 +280,7 @@ class DGCNN(nn.Module):
     dtype: Optional[jnp.dtype] = None
     exact_knn: bool = False
     edge_impl: str = "auto"
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(
@@ -294,7 +301,7 @@ class DGCNN(nn.Module):
         for i, width in enumerate(self.edge_widths):
             x = _EdgeConv(
                 width, self.k, self.bn_momentum, self.dtype, self.exact_knn,
-                self.edge_impl, name=f"ec{i + 1}",
+                self.edge_impl, self.allow_pallas, name=f"ec{i + 1}",
             )(x, train=train, frozen=frozen_trunk)
             layer_outs.append(x)
         local = jnp.concatenate(layer_outs, axis=-1)  # (b, n, sum(widths))

@@ -46,13 +46,16 @@ def model_from_config(
     if cfg.model == "dgcnn":
         from pointcloudprocessing_tpu.models.dgcnn import dgcnn_for_width
 
-        # no Pallas custom calls in this family — allow_pallas is moot
         return dgcnn_for_width(
             cfg.num_classes,
             cfg.num_parts,
             cfg.input_width,
             dropout_rate=dropout_rate,
             dtype=dtype,
+            # the factored edge block's inference extrema use the Pallas
+            # lane kernel (ops/pallas/gather_maxmin.py) — must stay off
+            # under GSPMD jit / multi-platform export
+            allow_pallas=allow_pallas,
         )
     if cfg.model == "pointnet":
         return PointNet(

@@ -44,8 +44,15 @@ def gather_rows_matmul(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     if x.dtype == jnp.bfloat16:
         return _onehot_select(x, flat).reshape(out_shape)
     if x.dtype == jnp.float32:
-        hi = x.astype(jnp.bfloat16)
-        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # NOT x.astype(bf16).astype(f32): XLA's excess-precision
+        # simplification (xla_allow_excess_precision, default on) folds the
+        # f32->bf16->f32 convert pair to identity, making lo == 0 — the
+        # gather silently degrades to single-bf16 accuracy (caught by
+        # tools/tpu_acceptance.py::check_onehot_gather, round 4).
+        # lax.reduce_precision is the unfoldable rounding op.
+        hi_f32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+        hi = hi_f32.astype(jnp.bfloat16)
+        lo = (x - hi_f32).astype(jnp.bfloat16)
         # ONE einsum over [hi ++ lo]: the fused one-hot operand is
         # regenerated per contraction, so two separate selections pay the
         # iota-compare twice (measured ~2x at the PN++ SA1 shape)

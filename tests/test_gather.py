@@ -65,3 +65,53 @@ def test_dispatch_matches_on_cpu():
     np.testing.assert_array_equal(
         np.asarray(gather_rows(x, idx)), np.asarray(_expected(x, idx))
     )
+
+
+class TestGatherMaxMin:
+    """ops/pallas/gather_maxmin: VMEM lane kernel (interpret mode on CPU)
+    and the dispatch fallbacks, all exact vs the native gather."""
+
+    def _want(self, q, idx):
+        b = q.shape[0]
+        g = jnp.take_along_axis(
+            q.astype(jnp.float32), idx.reshape(b, -1)[..., None], axis=1
+        ).reshape(*idx.shape, q.shape[-1])
+        return jnp.max(g, axis=2), jnp.min(g, axis=2)
+
+    def test_lane_kernel_interpret_exact(self):
+        from pointcloudprocessing_tpu.ops.pallas.gather_maxmin import (
+            gather_maxmin,
+        )
+
+        rng = np.random.default_rng(3)
+        idx = jnp.asarray(rng.integers(0, 256, (2, 256, 5)).astype(np.int32))
+        for dtype in (jnp.bfloat16, jnp.float32):
+            q = jnp.asarray(
+                rng.normal(size=(2, 256, 64)).astype(np.float32) * 9.0
+            ).astype(dtype)
+            got_mx, got_mn = gather_maxmin(q, idx, interpret=True)
+            want_mx, want_mn = self._want(q, idx)
+            assert got_mx.dtype == dtype
+            np.testing.assert_array_equal(
+                np.asarray(got_mx, np.float32), np.asarray(want_mx)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_mn, np.float32), np.asarray(want_mn)
+            )
+
+    def test_dispatch_fallback_wide(self):
+        """w above the kernel's crossover routes through gather_rows."""
+        from pointcloudprocessing_tpu.ops.pallas.gather_maxmin import (
+            gather_maxmin,
+            lane_kernel_applicable,
+        )
+
+        assert not lane_kernel_applicable(256, 128, jnp.bfloat16)
+        assert not lane_kernel_applicable(250, 64, jnp.bfloat16)  # n % 128
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 64, (2, 64, 4)).astype(np.int32))
+        got_mx, got_mn = gather_maxmin(q, idx)
+        want_mx, want_mn = self._want(q, idx)
+        np.testing.assert_allclose(np.asarray(got_mx), np.asarray(want_mx))
+        np.testing.assert_allclose(np.asarray(got_mn), np.asarray(want_mn))

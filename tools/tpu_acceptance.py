@@ -368,6 +368,38 @@ def check_onehot_gather() -> None:
     check("one-hot gather bf16 exactness", exact, 0.0, "abs")
 
 
+def check_gather_maxmin_kernel() -> None:
+    """VMEM lane-gather max/min kernel (ops/pallas/gather_maxmin.py) vs the
+    native gather ON HARDWARE: the chunk-select dynamic_gather decomposition
+    must be EXACT in bf16 and f32 (selection + max/min create no new
+    values; the internal f32 upcast round-trips bf16 bit-exactly)."""
+    from pointcloudprocessing_tpu.ops.pallas.gather_maxmin import (
+        gather_maxmin,
+        lane_kernel_applicable,
+    )
+
+    rng = np.random.default_rng(13)
+    idx = jnp.asarray(rng.integers(0, 512, (4, 512, 20)).astype(np.int32))
+    for dtype in (jnp.bfloat16, jnp.float32):
+        q = jnp.asarray(
+            rng.normal(size=(4, 512, 64)).astype(np.float32) * 17.0
+        ).astype(dtype)
+        assert lane_kernel_applicable(512, 64, dtype)
+        got_mx, got_mn = jax.jit(gather_maxmin)(q, idx)
+        g = jnp.take_along_axis(
+            q.astype(jnp.float32), idx.reshape(4, -1)[..., None], axis=1
+        ).reshape(4, 512, 20, 64)
+        want_mx, want_mn = jnp.max(g, axis=2), jnp.min(g, axis=2)
+        err = float(
+            jnp.maximum(
+                jnp.max(jnp.abs(got_mx.astype(jnp.float32) - want_mx)),
+                jnp.max(jnp.abs(got_mn.astype(jnp.float32) - want_mn)),
+            )
+        )
+        check(f"gather_maxmin lane kernel {jnp.dtype(dtype).name} exactness",
+              err, 0.0, "abs")
+
+
 def check_dgcnn_factored_edge() -> None:
     """DGCNN's factored split-kernel edge block vs the literal edge-tensor
     dataflow ON HARDWARE, where both ride the one-hot MXU gathers and the
@@ -413,6 +445,7 @@ def main() -> int:
         check_fps_selection,
         check_inference_precision_drift,
         check_onehot_gather,
+        check_gather_maxmin_kernel,
         check_dgcnn_factored_edge,
         check_shardmap_pipeline,
         check_pooled_chain_training,
