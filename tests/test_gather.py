@@ -42,6 +42,20 @@ def test_f32_hilo_precision():
     )
 
 
+def test_f32_hilo_survives_xla_simplifier():
+    """The hi half must be rounded with lax.reduce_precision, NOT an
+    f32->bf16->f32 convert pair: XLA's excess-precision simplification
+    (xla_allow_excess_precision, default on) folds the convert pair to
+    identity, zeroing lo — on TPU the gather silently degrades to
+    single-bf16 accuracy (2.6e-3 rel, caught on hardware by
+    tools/tpu_acceptance.py::check_onehot_gather, round 4). The fold does
+    not fire on the CPU backend, so this asserts the unfoldable op is
+    present in the optimized program instead."""
+    x, idx = _case(3, jnp.float32, seed=1)
+    hlo = jax.jit(gather_rows_matmul).lower(x, idx).compile().as_text()
+    assert "reduce-precision" in hlo
+
+
 def test_rank2_indices():
     x, idx3 = _case(4, jnp.float32, seed=2)
     idx = idx3[:, :, 0]  # (b, m)
