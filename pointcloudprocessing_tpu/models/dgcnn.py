@@ -223,7 +223,7 @@ class _EdgeConv(nn.Module):
     allow_pallas: bool = True
 
     @nn.compact
-    def __call__(self, x, *, train: bool, frozen: bool = False):
+    def __call__(self, x, *, train: bool, frozen: bool = False, idx=None):
         impl = self.impl
         if impl not in ("auto", "reference", "factored"):
             # a typo like 'factoredd' must not silently run the slow
@@ -238,7 +238,8 @@ class _EdgeConv(nn.Module):
                 if jax.default_backend() in ("tpu", "axon")
                 else "reference"
             )
-        idx = knn_graph(x, self.k, exact=self.exact_knn)
+        if idx is None:
+            idx = knn_graph(x, self.k, exact=self.exact_knn)
         if impl == "factored":
             return _FactoredEdgeBlock(
                 self.features, bn_momentum=self.bn_momentum, dtype=self.dtype,
@@ -281,6 +282,13 @@ class DGCNN(nn.Module):
     exact_knn: bool = False
     edge_impl: str = "auto"
     allow_pallas: bool = True
+    #: 'dynamic' rebuilds the kNN graph in every EdgeConv's feature space
+    #: (the canonical Wang et al. dataflow and the default); 'static'
+    #: computes it ONCE on the normalized input coordinates and reuses it
+    #: for all four layers — the paper's own fixed-graph ablation (Wang et
+    #: al. 2019 §5.1), offered as a serving opt-in because each dynamic
+    #: layer pays an (n, n) distance matmul + PartialReduce top-k.
+    graph: str = "dynamic"
 
     @nn.compact
     def __call__(
@@ -293,16 +301,27 @@ class DGCNN(nn.Module):
             "classification_output", "segmentation_output", "se3",
         ),
     ) -> dict[str, jnp.ndarray]:
+        if self.graph not in ("dynamic", "static"):
+            raise ValueError(
+                f"graph must be 'dynamic' or 'static'; got {self.graph!r}"
+            )
         pc, _ = normalize_unit_sphere(points)
 
         frozen_trunk = freeze.shared_network
         x = pc.astype(self.dtype) if self.dtype is not None else pc
+        # static graph: one input-space kNN shared by every EdgeConv (the
+        # fixed-graph ablation) instead of four feature-space rebuilds
+        shared_idx = (
+            knn_graph(x, self.k, exact=self.exact_knn)
+            if self.graph == "static"
+            else None
+        )
         layer_outs = []
         for i, width in enumerate(self.edge_widths):
             x = _EdgeConv(
                 width, self.k, self.bn_momentum, self.dtype, self.exact_knn,
                 self.edge_impl, self.allow_pallas, name=f"ec{i + 1}",
-            )(x, train=train, frozen=frozen_trunk)
+            )(x, train=train, frozen=frozen_trunk, idx=shared_idx)
             layer_outs.append(x)
         local = jnp.concatenate(layer_outs, axis=-1)  # (b, n, sum(widths))
         emb = PointwiseBlock(

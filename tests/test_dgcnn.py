@@ -251,3 +251,78 @@ def test_unknown_edge_impl_raises():
     model = DGCNN(num_classes=5, num_parts=4, edge_impl="factoredd", **TINY)
     with pytest.raises(ValueError, match="edge impl"):
         model.init(jax.random.key(0), _cloud(b=1, n=32, seed=0), train=False)
+
+
+def test_static_graph_single_layer_matches_dynamic():
+    """With ONE EdgeConv the static (input-space) and dynamic graphs are the
+    same graph, so the opt-in must be a pure refactor there: identical
+    outputs."""
+    kwargs = dict(num_classes=3, num_parts=4, k=6, edge_widths=(8,),
+                  emb_width=16, exact_knn=True)
+    dyn = DGCNN(graph="dynamic", **kwargs)
+    sta = DGCNN(graph="static", **kwargs)
+    x = _cloud(b=2, n=48, seed=11)
+    v = dyn.init(jax.random.key(2), x, train=False)
+    out_d = jax.jit(lambda v, x: dyn.apply(v, x, train=False))(v, x)
+    out_s = jax.jit(lambda v, x: sta.apply(v, x, train=False))(v, x)
+    for head in ("classification_output", "segmentation_output"):
+        np.testing.assert_allclose(
+            np.asarray(out_d[head]), np.asarray(out_s[head]),
+            rtol=1e-6, atol=1e-7,
+        )
+
+
+def test_static_graph_builds_one_graph(monkeypatch):
+    """graph='static' runs knn_graph ONCE for the whole trunk (that is the
+    point: four PartialReduce calls collapse to one); 'dynamic' runs it per
+    EdgeConv."""
+    import pointcloudprocessing_tpu.models.dgcnn as dgcnn_mod
+
+    calls = {"n": 0}
+    real = dgcnn_mod.knn_graph
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dgcnn_mod, "knn_graph", counting)
+    x = _cloud(b=1, n=32, seed=5)
+
+    sta = DGCNN(num_classes=3, num_parts=4, graph="static", **TINY)
+    v = sta.init(jax.random.key(0), x, train=False)
+    calls["n"] = 0
+    sta.apply(v, x, train=False)  # eager apply so the counter sees traces
+    assert calls["n"] == 1
+
+    dyn = DGCNN(num_classes=3, num_parts=4, graph="dynamic", **TINY)
+    calls["n"] = 0
+    dyn.apply(v, x, train=False)
+    assert calls["n"] == len(TINY["edge_widths"])
+
+
+def test_static_graph_trains():
+    """Train-mode forward + gradients stay finite through the shared-graph
+    trunk (the gathers see the same idx in every layer)."""
+    model = DGCNN(num_classes=3, num_parts=4, graph="static", **TINY)
+    x = _cloud(b=2, n=64, seed=9)
+    v = model.init(jax.random.key(1), x, train=False)
+
+    def loss(params):
+        out, _ = model.apply(
+            {**v, "params": params}, x, train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(3)},
+        )
+        return jnp.sum(out["classification_output"] ** 2) + jnp.sum(
+            out["segmentation_output"] ** 2
+        )
+
+    g = jax.jit(jax.grad(loss))(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+def test_unknown_graph_raises():
+    model = DGCNN(num_classes=3, num_parts=4, graph="staticc", **TINY)
+    with pytest.raises(ValueError, match="graph"):
+        model.init(jax.random.key(0), _cloud(b=1, n=32), train=False)
