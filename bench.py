@@ -156,6 +156,33 @@ def bench_infer_dgcnn(batch_size: int = 64, width: int = 1024,
     return batch_size / dt
 
 
+def bench_infer_dgcnn_static(batch_size: int = 64, width: int = 1024,
+                             steps: int = 40) -> float:
+    """DGCNN with the static-graph serving opt-in (models/dgcnn.py
+    ``graph='static'``): ONE input-space kNN shared by all four EdgeConvs —
+    the Wang et al. 2019 §5.1 fixed-graph ablation — so three of the four
+    PartialReduce top-k calls and their (n, n) distance matmuls vanish."""
+    from pointcloudprocessing_tpu.models.dgcnn import dgcnn_for_width
+
+    model = dgcnn_for_width(NUM_CLASSES, NUM_PARTS, width,
+                            dtype=jnp.bfloat16, graph="static")
+    pts = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch_size, width, 3)).astype(np.float32)
+    )
+    variables = jax.device_put(
+        jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.key(0), pts[:1]
+        )
+    )
+
+    @jax.jit
+    def step(points):
+        return model.apply(variables, points, train=False)
+
+    dt = _pipelined_time(step, pts, steps)
+    return batch_size / dt
+
+
 def bench_latency_p50(width: int = 1024, steps: int = 50) -> float:
     """Single-cloud inference p50 latency (ms). Per-call host sync — includes
     the tunnel round-trip, so this is an upper bound on on-device latency."""
@@ -551,6 +578,7 @@ def main() -> None:
         ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
         ("pointnet2_infer_clouds_per_s_b256", bench_infer_pointnet2),
         ("dgcnn_infer_clouds_per_s_b64", bench_infer_dgcnn),
+        ("dgcnn_static_infer_clouds_per_s_b64", bench_infer_dgcnn_static),
     ]:
         try:
             log(f"[*] {name}: {fn():.4g}")

@@ -644,7 +644,9 @@ def export_onnx_native_dgcnn(
     recall 0.85 is a TPU-speed trade — verify against ``model.apply`` with
     ``exact_knn=True``); the edge MLP is emitted in the literal Wang et al.
     dataflow (models/dgcnn.py ``impl='reference'`` — identical parameters
-    and math to the factored TPU path)."""
+    and math to the factored TPU path). A ``graph='static'`` model exports
+    with ONE input-space TopK shared by every EdgeConv, matching the
+    serving opt-in's semantics."""
     if opset != 13:
         raise ValueError(f"native ONNX export supports opset 13 only, got {opset}")
     params = variables["params"]
@@ -658,10 +660,18 @@ def export_onnx_native_dgcnn(
     se3 = _emit_identity_se3(g, "points")
 
     x = pc
+    static = getattr(model, "graph", "dynamic") == "static"
+    shared_idx = None
+    if static:
+        d = _emit_sq_dists(g, pc, pc)
+        _, shared_idx = g.topk(d, model.k, largest=0)  # (b, n, k)
     layer_outs = []
     for i in range(len(model.edge_widths)):
-        d = _emit_sq_dists(g, x, x)
-        _, idx = g.topk(d, model.k, largest=0)  # (b, n, k) — self included
+        if static:
+            idx = shared_idx
+        else:
+            d = _emit_sq_dists(g, x, x)
+            _, idx = g.topk(d, model.k, largest=0)  # (b, n, k) — self included
         nbr = _emit_gather_rows(g, x, idx, idx_rank=3)  # (b, n, k, c)
         center = g.unsqueeze(x, [2])  # (b, n, 1, c)
         center = g.expand(center, g.shape(nbr))

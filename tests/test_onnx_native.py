@@ -137,6 +137,31 @@ def test_onnx_export_dgcnn_matches_jax(tmp_path, rng):
         )
 
 
+def test_onnx_export_dgcnn_static_graph_matches_jax(tmp_path, rng):
+    """A graph='static' DGCNN (one input-space kNN shared by the trunk —
+    the serving opt-in) must export with the SAME shared-TopK semantics:
+    verify against model.apply to 1e-4 like the dynamic case."""
+    n, b = 64, 2
+    model = dgcnn_for_width(5, 4, n, exact_knn=True, graph="static")
+    x0 = jnp.asarray(rng.normal(size=(1, n, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x0, train=False)
+    variables = _nontrivial_stats(variables)
+
+    path = str(tmp_path / "dgcnn_static.onnx")
+    export_onnx_native_dgcnn(
+        model, variables, n, path, print_func=lambda s: None
+    )
+
+    parsed = parse_model(open(path, "rb").read())
+    pts = rng.normal(size=(b, n, 3)).astype(np.float32) * 3.0
+    got = run_onnx(parsed, {"points": pts})
+    want = model.apply(variables, jnp.asarray(pts), train=False)
+    for k in ("classification_output", "segmentation_output", "se3"):
+        np.testing.assert_allclose(
+            got[k], np.asarray(want[k]), atol=1e-4, err_msg=f"head {k}"
+        )
+
+
 def test_onnx_dynamic_batch(tmp_path, rng):
     """The graph must run at batch sizes other than the export-time one."""
     n = 32
