@@ -26,6 +26,7 @@ latency — unlike throughput — must not overlap steps.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -41,6 +42,8 @@ from pointcloudprocessing_tpu.ops import (
     voxel_downsample_batch,
 )
 from pointcloudprocessing_tpu.train import steps as steps_lib
+
+_T0 = time.perf_counter()  # process-level clock for the sweep wall budget
 
 NORTH_STAR = 10_000.0  # clouds/s/chip (BASELINE.md)
 NUM_CLASSES = 23
@@ -130,15 +133,21 @@ def bench_infer_pointnet2(batch_size: int = 256, width: int = 1024,
 
 
 def bench_infer_dgcnn(batch_size: int = 64, width: int = 1024,
-                      steps: int = 40) -> float:
+                      steps: int = 40, graph: str = "dynamic",
+                      k: int | None = None) -> float:
     """DGCNN (canonical k=20 EdgeConv) multi-head inference — the third
     model family (models/dgcnn.py). Per-layer dynamic kNN runs as an MXU
     distance matmul + PartialReduce approx_min_k; neighbor gathers are
-    one-hot MXU matmuls (the PN++ hotspot fixes apply verbatim)."""
+    one-hot MXU matmuls (the PN++ hotspot fixes apply verbatim).
+
+    ``graph='static'`` benches the static-graph serving opt-in: ONE
+    input-space kNN shared by all four EdgeConvs — the Wang et al. 2019
+    §5.1 fixed-graph ablation — so three of the four PartialReduce top-k
+    calls and their (n, n) distance matmuls vanish."""
     from pointcloudprocessing_tpu.models.dgcnn import dgcnn_for_width
 
     model = dgcnn_for_width(NUM_CLASSES, NUM_PARTS, width,
-                            dtype=jnp.bfloat16)
+                            dtype=jnp.bfloat16, graph=graph, k=k)
     pts = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch_size, width, 3)).astype(np.float32)
     )
@@ -156,31 +165,34 @@ def bench_infer_dgcnn(batch_size: int = 64, width: int = 1024,
     return batch_size / dt
 
 
-def bench_infer_dgcnn_static(batch_size: int = 64, width: int = 1024,
-                             steps: int = 40) -> float:
-    """DGCNN with the static-graph serving opt-in (models/dgcnn.py
-    ``graph='static'``): ONE input-space kNN shared by all four EdgeConvs —
-    the Wang et al. 2019 §5.1 fixed-graph ablation — so three of the four
-    PartialReduce top-k calls and their (n, n) distance matmuls vanish."""
-    from pointcloudprocessing_tpu.models.dgcnn import dgcnn_for_width
-
-    model = dgcnn_for_width(NUM_CLASSES, NUM_PARTS, width,
-                            dtype=jnp.bfloat16, graph="static")
-    pts = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch_size, width, 3)).astype(np.float32)
-    )
-    variables = jax.device_put(
-        jax.jit(lambda r, x: model.init(r, x, train=False))(
-            jax.random.key(0), pts[:1]
-        )
-    )
+def bench_dispatch_overhead(steps: int = 100, reps: int = 3) -> tuple[float, float]:
+    """Diagnostic: (per-dispatch overhead ms, one-read rtt ms) for a trivial
+    program. Healthy tunnel: ~1-2 ms/dispatch, ~25-30 ms rtt. The r04
+    artifact's single-dispatch rows collapsed ~5x (train b32 8,366 -> 1,448
+    clouds/s) while scanned rows were flat — the signature of per-dispatch
+    overhead rising toward a full rtt. This row makes that failure mode
+    visible in every future artifact (docs/PERF.md "r04 single-dispatch
+    anomaly")."""
+    x = jnp.zeros((8, 128), jnp.float32)
 
     @jax.jit
-    def step(points):
-        return model.apply(variables, points, train=False)
+    def tick(v):
+        return v + 1.0
 
-    dt = _pipelined_time(step, pts, steps)
-    return batch_size / dt
+    _sync(tick(x))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(tick(x))
+        rtts.append(time.perf_counter() - t0)
+    per_dispatch = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(steps - 1):
+            tick(x)
+        _sync(tick(x))
+        per_dispatch.append((time.perf_counter() - t0) / steps)
+    return (float(np.median(per_dispatch)) * 1e3, float(np.median(rtts)) * 1e3)
 
 
 def bench_latency_p50(width: int = 1024, steps: int = 50) -> float:
@@ -560,45 +572,69 @@ def main() -> None:
 
     if "--primary-only" in sys.argv:
         return
-    for name, fn in [
-        ("latency_p50_ms (tunnel upper bound)", bench_latency_p50),
-        ("latency_on_device_ms", bench_latency_on_device),
-        ("latency_e2e_on_device_ms", bench_latency_e2e_on_device),
-        ("infer_cls_only_clouds_per_s", bench_infer_cls_only),
-        ("preprocess_Mpts_per_s", bench_preprocess),
-        ("train_clouds_per_s_b32", bench_train_step),
-        ("train_bf16_clouds_per_s_b32", lambda: bench_train_step(dtype=jnp.bfloat16)),
-        ("train_scan32_clouds_per_s_b32", bench_train_multi_step),
-        ("train_scan32_bf16_clouds_per_s_b32",
-         lambda: bench_train_multi_step(dtype=jnp.bfloat16)),
-        ("train_scan64_bf16_clouds_per_s_b32",
-         lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16)),
-        ("train_scan64u4_bf16_clouds_per_s_b32",
-         lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16, unroll=4)),
-        ("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default")),
-        ("pointnet2_infer_clouds_per_s_b256", bench_infer_pointnet2),
-        ("dgcnn_infer_clouds_per_s_b64", bench_infer_dgcnn),
-        ("dgcnn_static_infer_clouds_per_s_b64", bench_infer_dgcnn_static),
-    ]:
+
+    # Secondary sweep under a global wall budget (BENCH_BUDGET_S, measured
+    # from process start): the r04 driver run hit its window (rc=124) and
+    # every row after train_scan32_bf16 was lost from the artifact. Rows
+    # are therefore (a) priority-ordered — diagnostics and the rows absent
+    # from BENCH_r04 first, the multi-minute train family last — and
+    # (b) skipped with an explicit log line once the deadline passes, so
+    # the sweep always ends cleanly inside the driver window.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+    deadline = _T0 + budget
+
+    def run_row(name, fn, fmt=None):
+        if time.perf_counter() > deadline:
+            log(f"[-] {name}: skipped (past {budget:.0f}s budget)")
+            return
         try:
-            log(f"[*] {name}: {fn():.4g}")
+            val = fn()
         except Exception as e:
             log(f"{name} failed: {type(e).__name__}: {e}")
-    try:
+            return
+        log(f"[*] {name}: {fmt(val) if fmt else f'{val:.4g}'}")
+
+    run_row("dispatch_overhead_ms/rtt_ms", bench_dispatch_overhead,
+            fmt=lambda v: f"{v[0]:.3g} / {v[1]:.3g}")
+    run_row("dgcnn_infer_clouds_per_s_b64", bench_infer_dgcnn)
+    run_row("dgcnn_static_infer_clouds_per_s_b64",
+            lambda: bench_infer_dgcnn(graph="static"))
+    run_row("pointnet2_infer_clouds_per_s_b256", bench_infer_pointnet2)
+    run_row("seg2048_b64_clouds_per_s", lambda: bench_infer(64, 2048, "default"))
+
+    def row_e2e():
         e2e, e2e_normals, e2e_stride = bench_e2e_pipeline()
-        log(f"[*] e2e_pipeline_clouds_per_s: {e2e:.4g}")
         log(f"[*] e2e_with_normals_clouds_per_s: {e2e_normals:.4g}")
         log(f"[*] e2e_stride_serving_clouds_per_s: {e2e_stride:.4g}")
-    except Exception as e:
-        log(f"e2e_pipeline failed: {type(e).__name__}: {e}")
-    try:
+        return e2e
+
+    run_row("e2e_pipeline_clouds_per_s", row_e2e)
+
+    def row_8192():
         fps8k, stride8k = bench_e2e_flagship_8192()
-        log(f"[*] e2e_8192pt_fps_clouds_per_s: {fps8k:.4g} "
-            f"({fps8k * 8192 / 1e6:.3g} Mpts/s scan intake)")
         log(f"[*] e2e_8192pt_stride_clouds_per_s: {stride8k:.4g} "
             f"({stride8k * 8192 / 1e6:.3g} Mpts/s scan intake)")
-    except Exception as e:
-        log(f"e2e_flagship_8192 failed: {type(e).__name__}: {e}")
+        return fps8k
+
+    run_row("e2e_8192pt_fps_clouds_per_s", row_8192)
+    run_row("preprocess_Mpts_per_s", bench_preprocess)
+    run_row("infer_cls_only_clouds_per_s", bench_infer_cls_only)
+    run_row("latency_p50_ms (tunnel upper bound)", bench_latency_p50)
+    run_row("latency_on_device_ms", bench_latency_on_device)
+    run_row("latency_e2e_on_device_ms", bench_latency_e2e_on_device)
+    run_row("train_scan64_bf16_clouds_per_s_b32",
+            lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16))
+    run_row("train_scan32_bf16_clouds_per_s_b32",
+            lambda: bench_train_multi_step(dtype=jnp.bfloat16))
+    run_row("train_clouds_per_s_b32", bench_train_step)
+    run_row("train_bf16_clouds_per_s_b32",
+            lambda: bench_train_step(dtype=jnp.bfloat16))
+    run_row("train_scan32_clouds_per_s_b32", bench_train_multi_step)
+    run_row("train_scan64u4_bf16_clouds_per_s_b32",
+            lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16,
+                                           unroll=4))
+    log(f"[=] sweep wall: {time.perf_counter() - _T0:.0f}s "
+        f"(budget {budget:.0f}s)")
 
 
 if __name__ == "__main__":

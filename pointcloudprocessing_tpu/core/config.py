@@ -109,6 +109,11 @@ class TrainConfig:
     # set-abstraction family (models/pointnet2.py) through the same
     # curriculum/driver; vanilla/regularize_* flags do not apply to it
     model: str = "pointnet"
+    # extension over the reference schema: per-family architecture options,
+    # validated by models/factory.py::model_from_config. DGCNN accepts
+    # {"k": <int>, "graph": "dynamic"|"static"} (the serving opt-ins of the
+    # DGCNN serving table, docs/PERF.md); other families accept no options.
+    model_options: Mapping[str, object] = dataclasses.field(default_factory=dict)
 
     model_path: str = "models/"
     input_path: str = ""
@@ -191,6 +196,7 @@ def parse_config(config: Mapping) -> TrainConfig:
         regularize_feature_transform=bool(params.get("regularize_feature_transform", False)),
         compute_dtype=str(params.get("compute_dtype", "")),
         model=str(params.get("model", "pointnet")),
+        model_options=dict(params.get("model_options", {})),
         model_path=fs.get("model_path", "models/"),
         input_path=fs.get("input_path", ""),
         data_path=fs.get("data_path", "data/"),

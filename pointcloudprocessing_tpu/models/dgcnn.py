@@ -58,18 +58,21 @@ def dgcnn_for_width(
     num_classes: int,
     num_parts: int,
     input_width: int,
+    k: Optional[int] = None,
     **kwargs,
 ) -> "DGCNN":
     """DGCNN with the graph size clamped for small clouds.
 
-    Canonical k is 20; for tiny ``input_width`` (unit tests, toy configs) k
-    clamps to the cloud size so kNN never asks for more neighbors than
-    exist. At >=32 points this returns the canonical configuration.
+    Canonical k is 20 (override via ``k`` — e.g. the k=10 serving config of
+    the DGCNN serving table, docs/PERF.md); for tiny ``input_width`` (unit
+    tests, toy configs) k clamps to the cloud size so kNN never asks for
+    more neighbors than exist. At >=32 points this returns the canonical
+    configuration.
     """
     return DGCNN(
         num_classes=num_classes,
         num_parts=num_parts,
-        k=max(min(20, input_width), 1),
+        k=max(min(20 if k is None else int(k), input_width), 1),
         **kwargs,
     )
 
@@ -310,9 +313,12 @@ class DGCNN(nn.Module):
         frozen_trunk = freeze.shared_network
         x = pc.astype(self.dtype) if self.dtype is not None else pc
         # static graph: one input-space kNN shared by every EdgeConv (the
-        # fixed-graph ablation) instead of four feature-space rebuilds
+        # fixed-graph ablation) instead of four feature-space rebuilds.
+        # Built from pc BEFORE the trunk dtype cast (knn_graph upcasts to
+        # f32 internally) so a bf16 trunk selects the same neighbor sets as
+        # the native ONNX export's f32 shared TopK.
         shared_idx = (
-            knn_graph(x, self.k, exact=self.exact_knn)
+            knn_graph(pc, self.k, exact=self.exact_knn)
             if self.graph == "static"
             else None
         )

@@ -32,6 +32,12 @@ def model_from_config(
       training: True applies the config's T-Net regularizers (PointNet
         family only — inference consumers always build without them).
     """
+    opts = dict(getattr(cfg, "model_options", {}) or {})
+    if cfg.model != "dgcnn" and opts:
+        raise ValueError(
+            f"params.model_options is not supported for params.model="
+            f"{cfg.model!r} (got {sorted(opts)})"
+        )
     if cfg.model == "pointnet2":
         from pointcloudprocessing_tpu.models.pointnet2 import pointnet2_for_width
 
@@ -46,6 +52,17 @@ def model_from_config(
     if cfg.model == "dgcnn":
         from pointcloudprocessing_tpu.models.dgcnn import dgcnn_for_width
 
+        unknown = set(opts) - {"k", "graph"}
+        if unknown:
+            raise ValueError(
+                f"Unknown params.model_options keys for dgcnn: "
+                f"{sorted(unknown)} (supported: 'k', 'graph')"
+            )
+        extra = {}
+        if "k" in opts:
+            extra["k"] = int(opts["k"])
+        if "graph" in opts:
+            extra["graph"] = str(opts["graph"])
         return dgcnn_for_width(
             cfg.num_classes,
             cfg.num_parts,
@@ -56,6 +73,7 @@ def model_from_config(
             # lane kernel (ops/pallas/gather_maxmin.py) — must stay off
             # under GSPMD jit / multi-platform export
             allow_pallas=allow_pallas,
+            **extra,
         )
     if cfg.model == "pointnet":
         return PointNet(

@@ -65,3 +65,34 @@ def test_compute_dtype_extension():
     assert parse_config(base).compute_dtype == ""
     base["params"]["compute_dtype"] = "bfloat16"
     assert parse_config(base).compute_dtype == "bfloat16"
+
+
+def test_model_options_extension():
+    """model_options is an optional extension: absent = {} (reference
+    behavior); for dgcnn it carries the serving opt-ins (k, graph) through
+    to the model factory, and unknown keys / wrong families are rejected."""
+    import json
+    from pointcloudprocessing_tpu.core.config import parse_config
+    from pointcloudprocessing_tpu.models.factory import model_from_config
+
+    base = json.load(open("configs/kc46_lidar_config.json"))
+    assert parse_config(base).model_options == {}
+
+    base["params"]["model"] = "dgcnn"
+    base["params"]["model_options"] = {"k": 10, "graph": "static"}
+    cfg = parse_config(base)
+    assert cfg.model_options == {"k": 10, "graph": "static"}
+    model = model_from_config(cfg)
+    assert model.k == 10
+    assert model.graph == "static"
+
+    import pytest as _pytest
+
+    base["params"]["model_options"] = {"bogus": 1}
+    with _pytest.raises(ValueError, match="bogus"):
+        model_from_config(parse_config(base))
+
+    base["params"]["model"] = "pointnet"
+    base["params"]["model_options"] = {"k": 10}
+    with _pytest.raises(ValueError, match="model_options"):
+        model_from_config(parse_config(base))

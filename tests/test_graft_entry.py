@@ -24,7 +24,16 @@ def test_entry_compiles_and_runs():
     assert out["se3"].shape == (8, 3, 3)
 
 
-@pytest.mark.parametrize("n", [2, 8])
+@pytest.mark.parametrize(
+    "n",
+    [
+        # n=2 exercises the same three legs at a different mesh factoring;
+        # slow lane only (fast-lane budget, VERDICT r4 item 4) — the driver
+        # also runs dryrun_multichip directly every round.
+        pytest.param(2, marks=pytest.mark.slow),
+        8,
+    ],
+)
 def test_dryrun_multichip(n, capsys):
     m = _load()
     m.dryrun_multichip(n)
