@@ -140,9 +140,12 @@ def test_onnx_export_dgcnn_matches_jax(tmp_path, rng):
 def test_onnx_export_dgcnn_static_graph_matches_jax(tmp_path, rng):
     """A graph='static' DGCNN (one input-space kNN shared by the trunk —
     the serving opt-in) must export with the SAME shared-TopK semantics:
-    verify against model.apply to 1e-4 like the dynamic case."""
+    verify against model.apply to 1e-4 like the dynamic case. Uses the
+    k=10 override so the serving-table config (params.model_options
+    {"k": 10, "graph": "static"}, docs/PERF.md) is the exact variant
+    covered through export."""
     n, b = 64, 2
-    model = dgcnn_for_width(5, 4, n, exact_knn=True, graph="static")
+    model = dgcnn_for_width(5, 4, n, exact_knn=True, graph="static", k=10)
     x0 = jnp.asarray(rng.normal(size=(1, n, 3)).astype(np.float32))
     variables = model.init(jax.random.key(0), x0, train=False)
     variables = _nontrivial_stats(variables)
