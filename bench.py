@@ -396,11 +396,13 @@ def bench_train_step(
 
 def bench_train_multi_step(
     batch: int = 32, width: int = 1024, chunk: int = 32, rounds: int = 8, dtype=None,
-    unroll: int = 1,
+    unroll: int = 1, moment_dtype=None,
 ) -> float:
     """Training with ``chunk`` scanned steps per dispatch (the production
     loop's steps_per_dispatch) — amortizes the per-call host/tunnel overhead
-    that dominates small-batch training."""
+    that dominates small-batch training. ``moment_dtype=bfloat16`` stores
+    both Adam moments rounded (the `optimizer_moment_dtype` config opt-in —
+    halves the optimizer-boundary HBM bill the round-5 gap trace measured)."""
     model = PointNet(
         num_classes=NUM_CLASSES, num_parts=NUM_PARTS,
         regularize_input_transform=True, regularize_feature_transform=True,
@@ -409,7 +411,7 @@ def bench_train_multi_step(
     freeze = FreezeFlags()
     state, optimizer = steps_lib.init_train_state(
         model, jax.random.key(0), width, LearningConfig(rate=1e-4), freeze,
-        batch_size=1,
+        batch_size=1, moment_dtype=moment_dtype,
     )
     multi = steps_lib.make_train_multi_step(
         model, optimizer, (1.0, 1.0, 0.1), freeze, (0.01, 0.01, 0.01),
@@ -633,6 +635,10 @@ def main() -> None:
     run_row("train_scan64u4_bf16_clouds_per_s_b32",
             lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16,
                                            unroll=4))
+    run_row("train_scan64u4_bf16mom_clouds_per_s_b32",
+            lambda: bench_train_multi_step(chunk=64, dtype=jnp.bfloat16,
+                                           unroll=4,
+                                           moment_dtype=jnp.bfloat16))
     log(f"[=] sweep wall: {time.perf_counter() - _T0:.0f}s "
         f"(budget {budget:.0f}s)")
 

@@ -17,7 +17,8 @@ field extraction in ``pointnet_train.py:83-114``):
            learning{rate, decay_steps, decay_rate},
            random_seed, debugging, vanilla,
            regularize_input_transform, regularize_feature_transform,
-           [compute_dtype], [model]}          # extensions; absent = reference behavior
+           [compute_dtype], [model],
+           [model_options], [optimizer_moment_dtype]}  # extensions; absent = reference behavior
     file_system{model_path, input_path, data_path}
 
 Here it is parsed into frozen dataclasses so that the rest of the framework
@@ -114,6 +115,12 @@ class TrainConfig:
     # {"k": <int>, "graph": "dynamic"|"static"} (the serving opt-ins of the
     # DGCNN serving table, docs/PERF.md); other families accept no options.
     model_options: Mapping[str, object] = dataclasses.field(default_factory=dict)
+    # extension over the reference schema (absent = f32 = reference
+    # behavior): "bfloat16" stores both Adam moments rounded to bf16 —
+    # halves the optimizer-state HBM traffic the round-5 train-step gap
+    # trace measured at the scan-iteration boundary (docs/PERF.md
+    # "Training-step wall"); update math stays f32
+    optimizer_moment_dtype: str = ""
 
     model_path: str = "models/"
     input_path: str = ""
@@ -197,6 +204,7 @@ def parse_config(config: Mapping) -> TrainConfig:
         compute_dtype=str(params.get("compute_dtype", "")),
         model=str(params.get("model", "pointnet")),
         model_options=dict(params.get("model_options", {})),
+        optimizer_moment_dtype=str(params.get("optimizer_moment_dtype", "")),
         model_path=fs.get("model_path", "models/"),
         input_path=fs.get("input_path", ""),
         data_path=fs.get("data_path", "data/"),

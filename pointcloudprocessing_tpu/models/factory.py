@@ -104,3 +104,16 @@ def _compute_dtype(cfg) -> Optional[object]:
     if cfg.compute_dtype in ("", "float32", "f32"):
         return None
     raise ValueError(f"Unknown compute_dtype {cfg.compute_dtype!r}")
+
+
+def _moment_dtype(cfg) -> Optional[object]:
+    """cfg.optimizer_moment_dtype string -> jnp dtype (None = f32 =
+    reference-exact Adam state)."""
+    import jax.numpy as jnp
+
+    if cfg.optimizer_moment_dtype in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if cfg.optimizer_moment_dtype in ("", "float32", "f32"):
+        return None
+    raise ValueError(
+        f"Unknown optimizer_moment_dtype {cfg.optimizer_moment_dtype!r}")

@@ -255,6 +255,7 @@ class TrainProfile:
         cfg = self.config
         from pointcloudprocessing_tpu.models.factory import (
             _compute_dtype,
+            _moment_dtype,
             model_from_config,
         )
 
@@ -289,6 +290,7 @@ class TrainProfile:
             cfg.learning,
             freeze,
             init_variables=init_variables,
+            moment_dtype=_moment_dtype(cfg),
         )
         return model, state, optimizer, freeze
 

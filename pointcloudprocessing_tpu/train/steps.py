@@ -61,10 +61,63 @@ def freeze_label_tree(params: Any, freeze: FreezeFlags) -> Any:
     }
 
 
+def scale_by_adam_moments(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-7,
+    moment_dtype: Any | None = None,
+) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with BOTH moments stored in ``moment_dtype``.
+
+    The b32 train-step timeline (docs/exp/trainstep_gap_trace.py) shows the
+    residual ~0.17 ms/step of in-loop idle is DMA-completion waits at the
+    optimizer boundary — the f32 moment tensors (2x params = 28 MB
+    read+written every step for the 3.5 M-param PointNet) are the byte bill.
+    bf16 moments halve it. Math stays in the gradient dtype (f32): moments
+    are upcast for the EMA update and the bias-corrected step, and only
+    STORED rounded — the formula is bit-identical to optax.scale_by_adam
+    when ``moment_dtype`` is None. optax's own ``mu_dtype`` covers mu only;
+    nu is the same size, hence this transform.
+    """
+
+    def init_fn(params):
+        cast = (lambda p: jnp.zeros_like(p, dtype=moment_dtype or p.dtype))
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(cast, params),
+            nu=jax.tree_util.tree_map(cast, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m.astype(g.dtype) + (1.0 - b1) * g,
+            updates, state.mu,
+        )
+        nu = jax.tree_util.tree_map(
+            lambda g, v: b2 * v.astype(g.dtype) + (1.0 - b2) * jnp.square(g),
+            updates, state.nu,
+        )
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
+        )
+        store = (lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(moment_dtype), t) if moment_dtype else t)
+        return out, optax.ScaleByAdamState(
+            count=count, mu=store(mu), nu=store(nu)
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     learning: LearningConfig,
     params: Any,
     freeze: FreezeFlags = FreezeFlags(),
+    moment_dtype: Any | None = None,
 ) -> optax.GradientTransformation:
     schedule = optax.exponential_decay(
         init_value=learning.rate,
@@ -72,7 +125,13 @@ def make_optimizer(
         decay_rate=learning.decay_rate,
         staircase=False,
     )
-    adam = optax.adam(schedule, eps=1e-7)  # Keras Adam epsilon
+    if moment_dtype is None:
+        adam = optax.adam(schedule, eps=1e-7)  # Keras Adam epsilon
+    else:
+        adam = optax.chain(
+            scale_by_adam_moments(eps=1e-7, moment_dtype=moment_dtype),
+            optax.scale_by_learning_rate(schedule),
+        )
     labels = freeze_label_tree(params, freeze)
     return optax.multi_transform(
         {"train": adam, "freeze": optax.set_to_zero()}, labels
@@ -87,6 +146,7 @@ def init_train_state(
     freeze: FreezeFlags = FreezeFlags(),
     init_variables: Any | None = None,
     batch_size: int = 1,
+    moment_dtype: Any | None = None,
 ) -> tuple[TrainState, optax.GradientTransformation]:
     """Initialize (or re-wrap pretrained variables into) a TrainState."""
     if init_variables is None:
@@ -99,7 +159,8 @@ def init_train_state(
         variables = init_variables
     params = variables["params"]
     batch_stats = variables["batch_stats"]
-    optimizer = make_optimizer(learning, params, freeze)
+    optimizer = make_optimizer(learning, params, freeze,
+                               moment_dtype=moment_dtype)
     return (
         TrainState(
             step=jnp.zeros((), jnp.int32),

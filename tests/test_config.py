@@ -96,3 +96,29 @@ def test_model_options_extension():
     base["params"]["model_options"] = {"k": 10}
     with _pytest.raises(ValueError, match="model_options"):
         model_from_config(parse_config(base))
+
+
+def test_optimizer_moment_dtype_extension():
+    """optimizer_moment_dtype is an optional extension: absent = '' = f32
+    Adam state (reference-exact); 'bfloat16' rounds both stored moments
+    (docs/PERF.md 'Training-step wall'); junk is rejected."""
+    import json
+    from pointcloudprocessing_tpu.core.config import parse_config
+    from pointcloudprocessing_tpu.models.factory import _moment_dtype
+
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    base = json.load(open("configs/kc46_lidar_config.json"))
+    cfg = parse_config(base)
+    assert cfg.optimizer_moment_dtype == ""
+    assert _moment_dtype(cfg) is None
+
+    base["params"]["optimizer_moment_dtype"] = "bfloat16"
+    cfg = parse_config(base)
+    assert cfg.optimizer_moment_dtype == "bfloat16"
+    assert _moment_dtype(cfg) == jnp.bfloat16
+
+    base["params"]["optimizer_moment_dtype"] = "fp8"
+    with _pytest.raises(ValueError, match="fp8"):
+        _moment_dtype(parse_config(base))

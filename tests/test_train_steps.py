@@ -397,3 +397,102 @@ def test_shardmap_step_distinct_shards_stays_replicated(rng):
     assert float(logs["segmentation_total"][0]) == 8 * B * N  # psum'd count
     state, logs = sm(state, xs, ts, jax.random.key(2))
     assert np.isfinite(np.asarray(logs["loss"])).all()
+
+
+# ---------------------------------------------------------------------------
+# optimizer_moment_dtype (round 5): bf16 Adam moments
+# ---------------------------------------------------------------------------
+
+
+def _tiny_tree(rng):
+    return {
+        "a": {"kernel": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)),
+              "bias": jnp.asarray(rng.normal(size=(8,)).astype(np.float32))},
+        "b": {"kernel": jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))},
+    }
+
+
+def test_scale_by_adam_moments_matches_optax_in_f32():
+    """moment_dtype=None must be bit-equivalent to optax.scale_by_adam —
+    the custom transform exists only to round moment STORAGE."""
+    import optax
+
+    rng = np.random.default_rng(0)
+    params = _tiny_tree(rng)
+    ours = steps_lib.scale_by_adam_moments(eps=1e-7, moment_dtype=None)
+    ref = optax.scale_by_adam(eps=1e-7)
+    s_o, s_r = ours.init(params), ref.init(params)
+    for i in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.normal(size=p.shape).astype(np.float32) * 1e-2),
+            params,
+        )
+        u_o, s_o = ours.update(grads, s_o)
+        u_r, s_r = ref.update(grads, s_r)
+        for l_o, l_r in zip(jax.tree_util.tree_leaves(u_o),
+                            jax.tree_util.tree_leaves(u_r)):
+            np.testing.assert_allclose(np.asarray(l_o), np.asarray(l_r),
+                                       rtol=1e-6, atol=1e-9)
+
+
+def test_scale_by_adam_moments_bf16_storage_and_accuracy():
+    """bf16 moments: state leaves are stored bf16, and the update direction
+    stays within bf16 rounding of the f32-state reference."""
+    rng = np.random.default_rng(1)
+    params = _tiny_tree(rng)
+    bf = steps_lib.scale_by_adam_moments(
+        eps=1e-7, moment_dtype=jnp.bfloat16)
+    f32 = steps_lib.scale_by_adam_moments(eps=1e-7, moment_dtype=None)
+    s_b, s_f = bf.init(params), f32.init(params)
+    for leaf in jax.tree_util.tree_leaves((s_b.mu, s_b.nu)):
+        assert leaf.dtype == jnp.bfloat16
+    for i in range(10):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.normal(size=p.shape).astype(np.float32) * 1e-2),
+            params,
+        )
+        u_b, s_b = bf.update(grads, s_b)
+        u_f, s_f = f32.update(grads, s_f)
+    for leaf in jax.tree_util.tree_leaves((s_b.mu, s_b.nu)):
+        assert leaf.dtype == jnp.bfloat16
+    for l_b, l_f in zip(jax.tree_util.tree_leaves(u_b),
+                        jax.tree_util.tree_leaves(u_f)):
+        # updates are O(1) after Adam normalization; bf16 moment rounding
+        # perturbs the direction by at most a few bf16 ulps
+        np.testing.assert_allclose(np.asarray(l_b), np.asarray(l_f),
+                                   rtol=0.05, atol=0.05)
+
+
+def test_train_step_with_bf16_moments_decreases_loss():
+    model = PointNet(num_classes=3, num_parts=2, dtype=jnp.bfloat16)
+    freeze = FreezeFlags()
+    state, optimizer = steps_lib.init_train_state(
+        model, jax.random.key(0), 64, LearningConfig(rate=1e-3), freeze,
+        moment_dtype=jnp.bfloat16,
+    )
+    step = steps_lib.make_train_step(
+        model, optimizer, (1.0, 1.0, 0.1), freeze, (0.0, 0.0, 0.0)
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 64, 3)).astype(np.float32))
+    targets = {
+        "classification_output": jnp.asarray(
+            rng.integers(0, 3, 4).astype(np.int32)),
+        "segmentation_output": jnp.asarray(
+            rng.integers(0, 2, (4, 64)).astype(np.int32)),
+        "se3": jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))),
+    }
+    losses = []
+    for i in range(8):
+        state, logs = step(state, x, targets, jax.random.key(i))
+        losses.append(float(logs["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # opt_state moments stayed bf16 through the jitted update
+    mu_leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x, state.opt_state),
+    )
+    assert any(l.dtype == jnp.bfloat16 for l in mu_leaves
+               if hasattr(l, "dtype"))
